@@ -1,0 +1,170 @@
+"""Per-document jQuery-style API mirroring the reference's ParseHTML class.
+
+This is the single-document engine that the Spark layer vectorizes over
+Arrow batches (one DocIndex per document inside mapInPandas). It exists so
+the reference's chainable API surface -- find / children / eq / html /
+text / attr (/root/reference/src/ParseHTML.php:192-352) -- is available
+verbatim, and so tests can pin semantics without Spark.
+
+A selection is (DocIndex, list of node ids); ``nodes=None`` means the
+fresh whole-document object (scope 'raw' [:136-149]); ``nodes=[]`` is the
+chainable empty object [:199-201].
+"""
+
+from __future__ import annotations
+
+from .matcher import eval_chain, find_nodes, node_matches
+from .selector import compile_selector
+from .tokenizer import DocIndex, parse_attrs
+
+
+class PH:
+    """jQuery-style selection over one HTML document."""
+
+    def __init__(self, html=None, doc: DocIndex | None = None, nodes=None):
+        self._html = html
+        self._doc = doc if doc is not None or html is None else DocIndex(html)
+        self._nodes = nodes  # None = fresh whole-doc, [] = empty object
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def empty(cls) -> "PH":
+        return cls(None, None, [])
+
+    @classmethod
+    def init(cls, contents: str, selector: str) -> "PH":
+        """One-shot construct+find, scope 'raw' [:398-423]."""
+        return cls(contents).find(selector)
+
+    # -- introspection -----------------------------------------------------
+
+    @property
+    def doc(self) -> DocIndex | None:
+        return self._doc
+
+    @property
+    def nodes(self) -> list[int]:
+        return list(self._nodes) if self._nodes else []
+
+    def __len__(self) -> int:
+        if self._html is None:
+            return 0
+        if self._nodes is None:
+            return 1  # fresh object: length 1 (the raw) [:140]
+        return len(self._nodes)
+
+    def _scopes(self) -> list[tuple[int, int]]:
+        """find() search ranges: whole raw when fresh, each element's
+        contents (descendants only) when a found set [:1671-1687]."""
+        if self._nodes is None:
+            return [(0, len(self._html))]
+        d = self._doc
+        return [(int(d.cstart[n]), int(d.cend[n])) for n in self._nodes]
+
+    # -- traversal ---------------------------------------------------------
+
+    def find(self, selector: str) -> "PH":
+        if self._html is None:
+            return PH.empty()
+        plan = compile_selector(selector)
+        if plan is None:
+            return PH.empty()
+        ids = find_nodes(self._doc, plan, self._scopes())
+        if not ids:
+            return PH.empty()
+        return PH(self._html, self._doc, ids)
+
+    def children(self, selector: str | None = None) -> "PH":
+        if self._html is None:
+            return PH.empty()
+        d = self._doc
+        kids: list[int] = []
+        seen: set[int] = set()
+        for n in self._element_nodes():
+            for ch in d.children_of(n):
+                if ch not in seen:
+                    seen.add(ch)
+                    kids.append(ch)
+        if selector is not None:
+            plan = compile_selector(selector)
+            if plan is None:
+                return PH.empty()
+            # descendant chains are rejected for the child filter [:366-370]
+            compounds = [c[0] for c in plan if len(c) == 1]
+            if not compounds:
+                return PH.empty()
+            kids = [
+                k for k in kids
+                if any(node_matches(d, comp, k) for comp in compounds)
+            ]
+        if not kids:
+            return PH.empty()
+        kids.sort(key=lambda j: int(d.start[j]))
+        return PH(self._html, d, kids)
+
+    def eq(self, index: int) -> "PH":
+        if self._html is None or index < 0:
+            return PH.empty()
+        if self._nodes is None:
+            # fresh object behaves as the single pseudo-element {0: raw}
+            return self if index == 0 else PH.empty()
+        if index < len(self._nodes):
+            return PH(self._html, self._doc, [self._nodes[index]])
+        return PH.empty()
+
+    def _element_nodes(self) -> list[int]:
+        """Nodes backing getElements(); the fresh object maps to the
+        document's outermost element when the raw starts with one."""
+        if self._nodes is not None:
+            return list(self._nodes)
+        d = self._doc
+        if d.n and int(d.start[0]) == 0 and not d.is_bare(0):
+            return [0]
+        return []
+
+    # -- terminals ---------------------------------------------------------
+
+    def html(self) -> str | None:
+        """Outer HTML of the FIRST element (jQuery deviation) [:234-238]."""
+        if self._html is None:
+            return None
+        if self._nodes is None:
+            return self._html
+        if not self._nodes:
+            return None
+        return self._doc.outer(self._nodes[0])
+
+    def text(self) -> str:
+        """strip_tags of the first element's outer HTML [:249-252]: no
+        entity decoding, no whitespace collapsing."""
+        if self._html is None:
+            return ""
+        d = self._doc
+        if self._nodes is None:
+            return d.text_between(0, len(self._html))
+        if not self._nodes:
+            return ""
+        n = self._nodes[0]
+        return d.text_between(int(d.start[n]), int(d.end[n]))
+
+    def attr(self, name: str):
+        """Named attribute of the first element; names are stored
+        lowercased and invalid names dropped (validate=True) [:265-269]."""
+        attrs = self._first_attrs()
+        return attrs.get(name)
+
+    def _first_attrs(self) -> dict:
+        if self._html is None:
+            return {}
+        if self._nodes is None:
+            d = self._doc
+            if d.n and int(d.start[0]) == 0:
+                return d.attrs(0, validate=True)
+            return {}
+        if not self._nodes:
+            return {}
+        return self._doc.attrs(self._nodes[0], validate=True)
+
+
+__all__ = ["PH", "DocIndex", "compile_selector", "parse_attrs", "eval_chain"]

@@ -1,0 +1,284 @@
+"""Byte-stream HTML tokenizer -> per-document node index.
+
+One forward pass over the raw string builds, per document:
+
+- node arrays (tag, start/end outer span, cstart/cend contents span,
+  parent, depth) -- the "ELEMENTS" of the reference
+  (/root/reference/src/ParseHTML.php:28-44) as columnar arrays instead of
+  position->string maps;
+- plain-text regions (everything outside tag/comment/decl markup), which
+  back ``text()`` = PHP ``strip_tags`` semantics [:249-252];
+- lazily parsed attribute maps per start tag, replicating the reference's
+  extractAttributes state machine [:1317-1408].
+
+Semantics pinned to the reference (SURVEY.md section 2.11):
+
+- a tag starts only at ``<`` + ASCII letter (or ``</`` + letter); anything
+  else (``<3``, ``< b``, stray ``<``) is text [:1892-1900 analog];
+- start/close tags end at the FIRST ``>`` -- no quote awareness, matching
+  the reference's strpos scans [:779, :1321];
+- open/close matching is per-tag-name LIFO; an unclosed non-void element
+  stays a bare start tag whose contents are empty [:1996-2000], except
+  that we match exact tag tokens where the reference's prefix scan
+  miscounts ``<b>``/``<br`` (divergence A.7, excluded from fixtures);
+- orphan close tags are markup (not text regions, not nodes); they still
+  surface verbatim inside extract() gap text, as in the reference;
+- 16 void tags never take contents [:1419-1426].
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+VOID_TAGS = frozenset(
+    "area base br col command embed hr img input keygen link meta param "
+    "source track wbr".split()
+)
+
+KNOWN_TAGS = frozenset(
+    """a abbr address area article aside audio b base bdi bdo blockquote body
+    br button canvas caption cite code col colgroup command datalist dd del
+    details dfn div dl dt em embed fieldset figcaption figure footer form
+    frameset frame h1 h2 h3 h4 h5 h6 head header hgroup hr html i iframe img
+    input ins kbd keygen label legend li link map mark menu meta meter nav
+    noscript object ol optgroup option output p param pre progress q rp rt
+    ruby s samp script section select small source span strong style sub
+    summary sup table tbody td textarea tfoot th thead time title tr track u
+    ul var video wbr""".split()
+)
+
+TOKEN_RE = re.compile(
+    r"<(?:"
+    r"(?P<close>/)(?P<cname>[a-zA-Z][a-zA-Z0-9]*)[^>]*>"
+    r"|(?P<name>[a-zA-Z][a-zA-Z0-9]*)(?P<attrs>[^>]*)>"
+    r"|(?P<special>[!?][^>]*>)"
+    r")"
+)
+
+_ATTR_FORBIDDEN = re.compile(r"[\"'>/=\s]")
+
+
+def parse_attrs(attr_str: str, validate: bool = False) -> dict[str, str | None]:
+    """Attribute map from the raw text between tag name and '>'.
+
+    Port of the reference state machine [:1317-1408]: names lowercased,
+    first duplicate wins, bare attrs -> None, a trailing bare attr without
+    a following space is dropped, name '0' is dropped (PHP empty()).
+    """
+    s = attr_str.strip()
+    attrs: dict[str, str | None] = {}
+    n = len(s)
+    state = 0  # 0=build_name 1=check_quote 2=build_value
+    name = ""
+    value: str | None = ""
+    quote = ""
+    register = False
+    for x in range(n):
+        ch = s[x]
+        if state == 0:
+            if x == 0:
+                # the reference's 'init' state appends the very first
+                # character unconditionally (even '=' or a quote) [:1336-1339]
+                name += ch
+            elif ch == "=":
+                state = 1
+            elif ch.isspace():
+                value = None
+                register = True
+            else:
+                name += ch
+        elif state == 1:
+            if ch in ("\"", "'"):
+                state = 2
+                quote = ch
+            elif ch.isspace():
+                pass
+            else:
+                value = ch
+                quote = ""
+                state = 2
+        elif state == 2:
+            if not quote and ch.isspace():
+                register = True
+            elif not quote and x == n - 1:
+                value = (value or "") + ch
+                register = True
+            elif ch == quote:
+                register = True
+            else:
+                value = (value or "") + ch
+        if register:
+            lname = name.lower()
+            if lname and lname != "0" and lname not in attrs:
+                attrs[lname] = value
+            register = False
+            name = ""
+            value = ""
+            quote = ""
+            state = 0
+    if validate and attrs:
+        attrs = {k: v for k, v in attrs.items() if not _ATTR_FORBIDDEN.search(k)}
+    return attrs
+
+
+class DocIndex:
+    """Columnar node index for one document."""
+
+    __slots__ = (
+        "html", "n", "tag", "start", "end", "cstart", "cend", "parent",
+        "depth", "tstart", "tend", "_attr_src", "_attrs", "_children",
+    )
+
+    def __init__(self, html: str):
+        self.html = html
+        tags: list[str] = []
+        starts: list[int] = []
+        st_ends: list[int] = []  # end of start tag
+        ends: list[int] = []  # element outer end (== st_end until closed)
+        cends: list[int] = []  # contents end (== st_end until closed)
+        attr_src: list[str] = []
+        open_stacks: dict[str, list[int]] = {}
+        token_spans: list[tuple[int, int]] = []
+
+        for m in TOKEN_RE.finditer(html):
+            token_spans.append(m.span())
+            name = m.group("name")
+            if name is not None:
+                lname = name.lower()
+                idx = len(tags)
+                tags.append(lname)
+                starts.append(m.start())
+                st_ends.append(m.end())
+                ends.append(m.end())
+                cends.append(m.end())
+                attr_src.append(m.group("attrs"))
+                if lname not in VOID_TAGS:
+                    open_stacks.setdefault(lname, []).append(idx)
+            elif m.group("close") is not None:
+                lname = m.group("cname").lower()
+                stack = open_stacks.get(lname)
+                if stack:
+                    idx = stack.pop()
+                    ends[idx] = m.end()
+                    cends[idx] = m.start()
+                # orphan close tag: markup only
+
+        n = len(tags)
+        self.n = n
+        self.tag = tags
+        self.start = np.asarray(starts, dtype=np.int64)
+        self.end = np.asarray(ends, dtype=np.int64)
+        self.cstart = np.asarray(st_ends, dtype=np.int64)
+        cend = np.asarray(cends, dtype=np.int64)
+        # unclosed non-void: contents are empty (bare start tag semantics)
+        bare = cend < self.cstart
+        cend[bare] = self.cstart[bare]
+        self.cend = cend
+        self._attr_src = attr_src
+        self._attrs: list[dict | None] = [None] * n
+
+        # parent pointers via interval stack (nodes are in start order)
+        parent = np.full(n, -1, dtype=np.int64)
+        depth = np.zeros(n, dtype=np.int64)
+        stack: list[int] = []
+        for i in range(n):
+            s_i = starts[i]
+            while stack and ends[stack[-1]] <= s_i:
+                stack.pop()
+            if stack:
+                parent[i] = stack[-1]
+                depth[i] = depth[stack[-1]] + 1
+            if ends[i] > st_ends[i]:  # only containers can own children
+                stack.append(i)
+        self.parent = parent
+        self.depth = depth
+        self._children: list | None = None
+
+        # plain-text regions = gaps between markup tokens
+        tstart: list[int] = []
+        tend: list[int] = []
+        pos = 0
+        for s_t, e_t in token_spans:
+            if s_t > pos:
+                tstart.append(pos)
+                tend.append(s_t)
+            pos = e_t
+        if pos < len(html):
+            tstart.append(pos)
+            tend.append(len(html))
+        self.tstart = np.asarray(tstart, dtype=np.int64)
+        self.tend = np.asarray(tend, dtype=np.int64)
+
+    # -- accessors ---------------------------------------------------------
+
+    def attrs(self, i: int, validate: bool = False) -> dict[str, str | None]:
+        if validate:
+            return parse_attrs(self._attr_src[i], validate=True)
+        cached = self._attrs[i]
+        if cached is None:
+            cached = parse_attrs(self._attr_src[i])
+            self._attrs[i] = cached
+        return cached
+
+    def outer(self, i: int) -> str:
+        return self.html[self.start[i]:self.end[i]]
+
+    def contents(self, i: int) -> str:
+        return self.html[self.cstart[i]:self.cend[i]]
+
+    def starttag(self, i: int) -> str:
+        return self.html[self.start[i]:self.cstart[i]]
+
+    def is_bare(self, i: int) -> bool:
+        """True when the element is only a start tag (void or unclosed)."""
+        return self.end[i] == self.cstart[i]
+
+    def children_of(self, i: int) -> list[int]:
+        if self._children is None:
+            ch: list[list[int]] = [[] for _ in range(self.n)]
+            for j in range(self.n):
+                p = self.parent[j]
+                if p >= 0:
+                    ch[p].append(j)
+            self._children = ch
+        return self._children[i]
+
+    def roots(self) -> list[int]:
+        return [i for i in range(self.n) if self.parent[i] < 0]
+
+    def text_between(self, lo: int, hi: int) -> str:
+        """Concatenated plain text within [lo, hi) -- strip_tags semantics."""
+        if hi <= lo or len(self.tstart) == 0:
+            return ""
+        a = int(np.searchsorted(self.tend, lo, side="right"))
+        b = int(np.searchsorted(self.tstart, hi, side="left"))
+        if a >= b:
+            return ""
+        parts = []
+        for k in range(a, b):
+            s_k = max(int(self.tstart[k]), lo)
+            e_k = min(int(self.tend[k]), hi)
+            if e_k > s_k:
+                parts.append(self.html[s_k:e_k])
+        return "".join(parts)
+
+    def node_text(self, i: int) -> str:
+        """text() of a node = strip_tags of its outer HTML."""
+        return self.text_between(int(self.cstart[i]), int(self.cend[i]))
+
+    def nodes_in_range(self, lo: int, hi: int) -> np.ndarray:
+        """Node ids whose start-tag '<' lies in [lo, hi), in doc order."""
+        a = int(np.searchsorted(self.start, lo, side="left"))
+        b = int(np.searchsorted(self.start, hi, side="left"))
+        return np.arange(a, b, dtype=np.int64)
+
+
+def trim_html(s: str) -> str:
+    """Reference trimHtml [:429-434]: collapse whitespace runs to one
+    space; a pure-whitespace (non-empty) result becomes ''."""
+    s = re.sub(r"\s\s+", " ", s)
+    if s and s.isspace():
+        return ""
+    return s
