@@ -131,7 +131,16 @@ def extract_element(sel: PH, val_only: bool = False):
 
 def extract_table(sel: PH, val_only: bool = False):
     """extractTable: all tables (self-or-descendant, nested promoted to
-    top level), nested-table content pruned from parents [:462-515]."""
+    top level), nested-table content pruned from parents [:462-515].
+    Single table unwrapped, none -> []."""
+    storage = extract_table_list(sel, val_only)
+    if len(storage) == 1:
+        return storage[0]
+    return storage
+
+
+def extract_table_list(sel: PH, val_only: bool = False) -> list:
+    """extract_table without the single-result unwrap (pipeline use)."""
     doc = sel.doc
     if doc is None:
         return []
@@ -156,8 +165,6 @@ def extract_table(sel: PH, val_only: bool = False):
         else:
             tree = extract_node(doc, t, prune_tag="table")
         storage.append(value_only(tree) if val_only else tree)
-    if len(storage) == 1:
-        return storage[0]
     return storage
 
 

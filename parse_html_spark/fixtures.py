@@ -1,0 +1,227 @@
+"""Deterministic synthetic interleaved text+media span documents.
+
+Generates the input table of BASELINE.json's input_hint:
+(doc_id:string, spans:array<struct<kind,text,media_ref,offset>>), seed=42,
+log-normal sizes with a mega-doc tail (skew), boilerplate nav/footer/aside
+blocks with high link density, one main-content region, tables, forms,
+comments, void elements -- and NONE of the reference-bug divergence
+constructs (SURVEY.md 2.11 A-quirks): no same-prefix nested tags, no
+byte-identical sibling tables, no falsy mid-sibling text nodes.
+
+Each document is generated from Random(seed * 1_000_003 + doc_i), so any
+subset of doc ids can be produced independently and in parallel.
+"""
+
+from __future__ import annotations
+
+import random
+
+WORDS = (
+    "the quick brown fox jumps over lazy dog spark engine query data "
+    "table scan join merge sort filter window batch stream vector hash "
+    "column row value key order group page content article story news "
+    "report analysis system design model result test case number item"
+).split()
+
+LANGS = ["en", "de", "fr", "es"]
+
+MU, SIGMA = 7.2, 1.1
+MIN_CHARS, MAX_CHARS = 200, 2_000_000
+MEGA_EVERY = 500  # every 500th doc is a mega-doc (0.2% tail)
+MEGA_MIN = 500_000
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _nav_block(rng: random.Random, tag: str, cls: str, n_links: int) -> str:
+    links = " ".join(
+        f'<a href="/{rng.choice(WORDS)}/{i}">{rng.choice(WORDS)} {rng.choice(WORDS)}</a>'
+        for i in range(n_links)
+    )
+    return f'<{tag} class="{cls}">{links}</{tag}>'
+
+
+def _table(rng: random.Random, ti: int) -> str:
+    rows = []
+    for r in range(rng.randint(1, 3)):
+        cells = "".join(
+            f"<td>{_sentence(rng, 2)} r{r}c{c}t{ti}</td>" for c in range(rng.randint(1, 3))
+        )
+        rows.append(f"<tr>{cells}</tr>")
+    return f'<table class="data t{ti}">{"".join(rows)}</table>'
+
+
+def _form(rng: random.Random, fi: int) -> str:
+    inputs = "".join(
+        f'<input type="text" name="f{fi}_{k}" value="{rng.choice(WORDS)}">'
+        for k in range(rng.randint(1, 3))
+    )
+    return f'<form action="/post{fi}">{inputs}<input type="submit" name="go" value="Send"></form>'
+
+
+def build_doc_html(doc_i: int, rng: random.Random, target_chars: int) -> tuple[str, list[int]]:
+    """Returns (html, media_slots) where media_slots are char positions
+    (in the final html string) suitable as input-media interleave points
+    (all inside the main-content region)."""
+    title = _sentence(rng, rng.randint(3, 6))
+    head = f"<html><head><title>{title}</title></head><body>"
+    nav = _nav_block(rng, "nav", "menu top", rng.randint(4, 10))
+    header = f'<header class="site"><h1>{_sentence(rng, 3)}</h1></header>'
+
+    # main region: paragraphs until target size
+    parts: list[str] = []
+    media_marks: list[int] = []  # index into parts AFTER which a media slot sits
+    approx = 0
+    pi = 0
+    while approx < target_chars:
+        roll = rng.random()
+        if roll < 0.78:
+            depth_cls = rng.choice(["intro", "body", "detail"])
+            sent = _sentence(rng, rng.randint(8, 26))
+            inline = ""
+            if rng.random() < 0.25:
+                inline = f" <b>{rng.choice(WORDS)}</b> {rng.choice(WORDS)}"
+            if rng.random() < 0.10:
+                inline += f' <a href="/ref/{pi}">{rng.choice(WORDS)}</a>'
+            parts.append(f'<p class="{depth_cls}" data-p="{pi}">{sent}{inline}.</p>')
+        elif roll < 0.85:
+            items = "".join(
+                f"<li>{_sentence(rng, rng.randint(2, 6))}</li>"
+                for _ in range(rng.randint(2, 5))
+            )
+            parts.append(f"<ul>{items}</ul>")
+        elif roll < 0.90:
+            parts.append(_table(rng, pi))
+        elif roll < 0.93:
+            parts.append(f"<!-- block {pi} -->")
+        elif roll < 0.96:
+            parts.append(
+                f'<img src="media://img-{doc_i}-{pi}" alt="{rng.choice(WORDS)}">'
+            )
+        else:
+            parts.append(f"<blockquote>{_sentence(rng, rng.randint(6, 14))}</blockquote>")
+            if rng.random() < 0.3:
+                media_marks.append(len(parts))
+        approx += len(parts[-1])
+        pi += 1
+
+    main_inner = "\n".join(parts)
+    aside = _nav_block(rng, "aside", "related", rng.randint(3, 8))
+    footer = _nav_block(rng, "footer", "bottom", rng.randint(3, 8))
+    form = _form(rng, 0) if rng.random() < 0.3 else ""
+
+    # nesting wrapper depth 2-12
+    depth = rng.randint(0, 6)
+    open_wrap = "".join(f'<div class="wrap w{k}">' for k in range(depth))
+    close_wrap = "</div>" * depth
+
+    html = (
+        head
+        + nav
+        + header
+        + open_wrap
+        + f'<article class="main" id="content-{doc_i}">\n'
+        + main_inner
+        + "\n</article>"
+        + close_wrap
+        + form
+        + aside
+        + footer
+        + "</body></html>"
+    )
+
+    # char positions for input-media interleave: after each marked part,
+    # located inside the article body
+    slots: list[int] = []
+    if media_marks:
+        base = html.index(main_inner)
+        upto = 0
+        joined = main_inner
+        for mark in media_marks:
+            prefix = "\n".join(parts[:mark])
+            slots.append(base + len(prefix))
+        del joined, upto
+    return html, slots
+
+
+def gen_doc(doc_i: int, seed: int = 42) -> dict:
+    rng = random.Random(seed * 1_000_003 + doc_i)
+    target = int(rng.lognormvariate(MU, SIGMA))
+    if doc_i % MEGA_EVERY == 0 and doc_i > 0:
+        target = max(target, MEGA_MIN)
+    target = max(MIN_CHARS, min(MAX_CHARS, target))
+    html, slots = build_doc_html(doc_i, rng, target)
+
+    # split html into 1-4 text spans; media spans at slot positions
+    cut_points = sorted(set(slots))
+    spans = []
+    prev = 0
+    for k, cut in enumerate(cut_points):
+        if cut <= prev or cut >= len(html):
+            continue
+        spans.append(
+            {"kind": "text", "text": html[prev:cut], "media_ref": None, "offset": prev}
+        )
+        spans.append(
+            {
+                "kind": rng.choice(["img", "embed"]),
+                "text": "",
+                "media_ref": f"media://ext-{doc_i}-{k}",
+                "offset": cut,
+            }
+        )
+        prev = cut
+    spans.append(
+        {"kind": "text", "text": html[prev:], "media_ref": None, "offset": prev}
+    )
+    return {"doc_id": f"doc-{doc_i:08d}", "spans": spans}
+
+
+def gen_docs(n: int, seed: int = 42, start: int = 0):
+    for i in range(start, start + n):
+        yield gen_doc(i, seed)
+
+
+def write_corpus_parquet(path: str, n: int, seed: int = 42, rows_per_group: int = 512) -> None:
+    """Write the span-doc corpus with pyarrow (no Spark needed); multiple
+    row groups so Spark can split the scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    schema = pa.schema([("doc_id", pa.string()), ("spans", span_type)])
+    writer = pq.ParquetWriter(path, schema)
+    batch_ids: list[str] = []
+    batch_spans: list[list] = []
+    for i in range(n):
+        d = gen_doc(i, seed)
+        batch_ids.append(d["doc_id"])
+        batch_spans.append(
+            [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in d["spans"]
+            ]
+        )
+        if len(batch_ids) >= rows_per_group:
+            writer.write_table(
+                pa.table(
+                    {"doc_id": batch_ids, "spans": batch_spans}, schema=schema
+                )
+            )
+            batch_ids, batch_spans = [], []
+    if batch_ids:
+        writer.write_table(
+            pa.table({"doc_id": batch_ids, "spans": batch_spans}, schema=schema)
+        )
+    writer.close()

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact cosine top-k (baseline; one pass, no
+  shuffle until the final top-k sort which AQE keeps tiny).
+- lsh_cosine_topk: random-hyperplane LSH bucketing (scale path) -- at
+  1000 executors the bucket join prunes candidates ~2^bits-fold before
+  any dot product is computed; hyperplanes are seeded, so buckets are
+  deterministic and stable across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a constant query vector.
+    JVM-side (zip_with/aggregate) -- no Python in the hot path."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_col(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_per_query(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Top-k per query row: broadcast the (small) query side, window-rank
+    the similarities. The corpus side never shuffles its vectors."""
+    from pyspark.sql import Window
+
+    joined = df.crossJoin(F.broadcast(queries))
+    sim = cosine_col(F.col(vec_col), F.col(q_vec_col))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        joined.select(
+            F.col(q_id_col), F.col(id_col), F.round(sim, 4).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim).astype("float64")
+
+
+def lsh_bucket_col(vec_col, planes) -> "F.Column":
+    """Sign-bit bucket id from seeded random hyperplanes (JVM-side)."""
+    bucket = F.lit(0)
+    for i, row in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in row]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only vectors in the query's LSH bucket are
+    scored. Recall is traded for a ~2^bits candidate reduction."""
+    import numpy as np
+
+    planes = _hyperplanes(len(query_vec), bits, seed)
+    qb = 0
+    qv = np.asarray(query_vec, dtype="float64")
+    for i, row in enumerate(planes):
+        if float(row @ qv) > 0:
+            qb |= 1 << i
+    bucketed = df.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("_bucket") == qb)
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

@@ -1,0 +1,294 @@
+"""Distributed extraction pipelines over interleaved span documents.
+
+Input table (BASELINE.json input_hint):
+    doc_id: string
+    spans:  array<struct<kind:string, text:string, media_ref:string, offset:int>>
+
+The per-doc HTML byte stream is the offset-ordered concatenation of
+kind='text' span texts; media spans occupy their offset slots and surface
+as kind='media' output spans.
+
+All pipelines are stateless mapInPandas stages (Arrow-vectorized, no
+per-row Python at the JVM boundary) followed by native DataFrame ops, so
+Catalyst handles pushdown/pruning and the same code runs under
+readStream ... foreachBatch unchanged.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+from .boilerplate import main_content_spans
+from .dom import PH
+from .extract import extract_form, extract_node, to_plain, value_only
+from .matcher import find_nodes
+from .selector import compile_selector
+from .tokenizer import DocIndex
+
+SPAN_SCHEMA = (
+    "doc_id string, `order` int, kind string, text string, media_ref string"
+)
+MATCH_SCHEMA = "doc_id string, match_order int, value string"
+
+
+def _map_in_pandas(df, run, schema):
+    from .session import ensure_py_files
+
+    ensure_py_files(df.sparkSession)
+    return df.mapInPandas(run, schema=schema)
+
+
+def assemble(spans) -> tuple[str, list[tuple[int, str]]]:
+    """Concatenate text spans in offset order; media spans become
+    (assembled_char_position, media_ref) slots."""
+    parts: list[str] = []
+    media: list[tuple[int, str]] = []
+    pos = 0
+    for s in sorted(spans, key=lambda s: s["offset"]):
+        if s["kind"] == "text":
+            txt = s["text"] or ""
+            parts.append(txt)
+            pos += len(txt)
+        else:
+            media.append((pos, s["media_ref"] or ""))
+    return "".join(parts), media
+
+
+def _spans_of_row(row_spans) -> list[dict]:
+    # pandas delivers array<struct> as a numpy array of dicts (Arrow path)
+    if row_spans is None:
+        return []
+    return [s if isinstance(s, dict) else s.asDict() for s in row_spans]
+
+
+def extract_spans(df):
+    """Main-content extraction: span docs -> ordered output spans
+    (doc_id, order, kind, text, media_ref). The flagship pipeline."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out_doc, out_ord, out_kind, out_text, out_ref = [], [], [], [], []
+            for doc_id, row_spans in zip(pdf["doc_id"], pdf["spans"]):
+                html, media = assemble(_spans_of_row(row_spans))
+                doc = DocIndex(html)
+                spans = main_content_spans(doc, media)
+                for i, (kind, text, ref) in enumerate(spans):
+                    out_doc.append(doc_id)
+                    out_ord.append(i)
+                    out_kind.append(kind)
+                    out_text.append(text)
+                    out_ref.append(ref)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "order": pd.array(out_ord, dtype="int32"),
+                    "kind": out_kind,
+                    "text": out_text,
+                    "media_ref": out_ref,
+                }
+            )
+
+    return _map_in_pandas(df, run, SPAN_SCHEMA)
+
+
+def select_spans(df, selector: str, mode: str = "text", attr_name: str | None = None):
+    """Run a CSS selector over every document; one output row per match.
+
+    mode: 'text' | 'html' | 'attr' (attr_name required for 'attr').
+    The selector is compiled ONCE on the driver and closure-captured."""
+    import pandas as pd
+
+    plan = compile_selector(selector)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out_doc, out_ord, out_val = [], [], []
+            for doc_id, row_spans in zip(pdf["doc_id"], pdf["spans"]):
+                if plan is None:
+                    continue
+                html, _ = assemble(_spans_of_row(row_spans))
+                doc = DocIndex(html)
+                ids = find_nodes(doc, plan, [(0, len(html))])
+                for k, n in enumerate(ids):
+                    if mode == "text":
+                        val = doc.text_between(int(doc.start[n]), int(doc.end[n]))
+                    elif mode == "html":
+                        val = doc.outer(n)
+                    else:
+                        val = doc.attrs(n, validate=True).get(attr_name)
+                    out_doc.append(doc_id)
+                    out_ord.append(k)
+                    out_val.append(val)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "match_order": pd.array(out_ord, dtype="int32"),
+                    "value": pd.array(out_val, dtype=object),
+                }
+            )
+
+    return _map_in_pandas(df, run, MATCH_SCHEMA)
+
+
+def extract_tables_df(df, selector: str = "table"):
+    """extractTable over every doc -> (doc_id, table_order, cells_json)."""
+    import json
+
+    import pandas as pd
+
+    from .extract import extract_table_list
+
+    def run(batches):
+        for pdf in batches:
+            out_doc, out_ord, out_json = [], [], []
+            for doc_id, row_spans in zip(pdf["doc_id"], pdf["spans"]):
+                html, _ = assemble(_spans_of_row(row_spans))
+                ph = PH(html).find(selector)
+                tables = extract_table_list(ph, val_only=True)
+                for k, t in enumerate(tables):
+                    out_doc.append(doc_id)
+                    out_ord.append(k)
+                    out_json.append(json.dumps(to_plain(t), ensure_ascii=False))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "table_order": pd.array(out_ord, dtype="int32"),
+                    "cells_json": out_json,
+                }
+            )
+
+    return _map_in_pandas(df, run, "doc_id string, table_order int, cells_json string")
+
+
+def extract_forms_df(df):
+    """extractForm over every doc -> (doc_id, form_json)."""
+    import json
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out_doc, out_json = [], []
+            for doc_id, row_spans in zip(pdf["doc_id"], pdf["spans"]):
+                html, _ = assemble(_spans_of_row(row_spans))
+                fields = to_plain(extract_form(PH(html)))
+                out_doc.append(doc_id)
+                out_json.append(json.dumps(fields, ensure_ascii=False))
+            yield pd.DataFrame({"doc_id": out_doc, "form_json": out_json})
+
+    return _map_in_pandas(df, run, "doc_id string, form_json string")
+
+
+def extract_post_forms_df(df, trigger: str):
+    """preparePostForm over every doc -> (doc_id, form_json): all
+    [type=submit] fields except the trigger are dropped (anti-join
+    semantics, SURVEY.md 2.7)."""
+    import json
+
+    import pandas as pd
+
+    from .extract import prepare_post_form
+
+    def run(batches):
+        for pdf in batches:
+            out_doc, out_json = [], []
+            for doc_id, row_spans in zip(pdf["doc_id"], pdf["spans"]):
+                html, _ = assemble(_spans_of_row(row_spans))
+                fields = to_plain(prepare_post_form(PH(html), trigger))
+                out_doc.append(doc_id)
+                out_json.append(json.dumps(fields, ensure_ascii=False))
+            yield pd.DataFrame({"doc_id": out_doc, "form_json": out_json})
+
+    return _map_in_pandas(df, run, "doc_id string, form_json string")
+
+
+# -- scale infrastructure --------------------------------------------------
+
+MEGA_DOC_CHARS = 500_000
+
+
+def doc_size_col():
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        "spans", F.lit(0), lambda acc, s: acc + F.length(F.coalesce(s["text"], F.lit("")))
+    )
+
+
+def prepare_partitions(df, partitions: int, mega_chars: int = MEGA_DOC_CHARS):
+    """Skew defusal: hash-distribute normal docs; give mega-docs their own
+    fine-grained partitions so one straggler doc does not pin a task that
+    holds hundreds of other docs (AQE cannot rebalance a Python map stage
+    by value skew -- SURVEY.md section 4.3)."""
+    from pyspark.sql import functions as F
+
+    sized = df.withColumn("_n_chars", doc_size_col())
+    small = (
+        sized.filter(F.col("_n_chars") <= mega_chars)
+        .repartition(partitions, F.col("doc_id"))
+        .drop("_n_chars")
+    )
+    big = (
+        sized.filter(F.col("_n_chars") > mega_chars)
+        .repartition(max(partitions // 2, 8), F.col("doc_id"))
+        .drop("_n_chars")
+    )
+    return small.unionByName(big)
+
+
+def run_resumable(
+    spark,
+    input_path: str,
+    output_dir: str,
+    buckets: int = 8,
+    partitions: int = 64,
+):
+    """Checkpoint-resumable extraction with per-bucket lineage + metrics.
+
+    Work units are deterministic hash buckets of doc_id (stable across
+    cluster sizes and retries). Completed buckets are recorded in
+    <output_dir>/_manifest.json and skipped on rerun; per-bucket metrics
+    rows go to <output_dir>/_metrics/. Output is idempotent: each bucket
+    writes its own subdirectory with mode=overwrite."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(output_dir, exist_ok=True)
+    manifest_path = os.path.join(output_dir, "_manifest.json")
+    manifest = {"input": input_path, "buckets": buckets, "done": []}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+        if manifest.get("buckets") != buckets or manifest.get("input") != input_path:
+            raise ValueError("manifest does not match job config")
+
+    df = spark.read.parquet(input_path)
+    bucket_col = F.pmod(F.xxhash64("doc_id"), F.lit(buckets))
+    metrics_rows = []
+    for b in range(buckets):
+        if b in manifest["done"]:
+            continue
+        part = df.filter(bucket_col == b)
+        part = prepare_partitions(part, partitions)
+        out = extract_spans(part)
+        t0 = time.time()
+        out_path = os.path.join(output_dir, f"bucket={b}")
+        out.write.mode("overwrite").parquet(out_path)
+        wall = time.time() - t0
+        n_spans = spark.read.parquet(out_path).count()
+        metrics_rows.append((b, n_spans, float(wall)))
+        manifest["done"].append(b)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, manifest_path)  # atomic lineage commit
+    if metrics_rows:
+        mdf = spark.createDataFrame(
+            metrics_rows, "bucket int, n_spans long, wall_sec double"
+        )
+        mdf.write.mode("append").parquet(os.path.join(output_dir, "_metrics"))
+    return os.path.join(output_dir, "bucket=*")
