@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The extraction headline runs over the deterministic seed-42 span-doc
+fixture corpus (generated once, cached); relational/dedup/similarity
+queries run over the sf-dir tables. Progress goes to stderr only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+CORPUS_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_CORPUS",
+    f"/tmp/phs_bench_corpus_{BENCH_DOCS}.parquet",
+)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ensure_corpus() -> str:
+    if not os.path.exists(CORPUS_PATH):
+        from parse_html_spark.fixtures import write_corpus_parquet
+
+        log(f"generating bench corpus: {BENCH_DOCS} docs -> {CORPUS_PATH}")
+        t0 = time.time()
+        write_corpus_parquet(CORPUS_PATH, BENCH_DOCS)
+        log(f"corpus generated in {time.time() - t0:.1f}s")
+    return CORPUS_PATH
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from parse_html_spark.pipeline import (
+        extract_spans,
+        prepare_partitions,
+        select_spans,
+    )
+    from parse_html_spark.session import get_spark
+
+    corpus_path = ensure_corpus()
+    spark = get_spark(cpus=CPUS, app="parse_html_spark_bench")
+    times: dict[str, float] = {}
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    def timed(name: str, fn, reps: int = 2) -> None:
+        # the sandbox host is noisy (2-10x run-to-run variance observed);
+        # report the best of `reps` runs as the least-contended measurement
+        best = float("inf")
+        n = 0
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
+        log(f"{name}: {times[name]}s ({n} rows)")
+
+    corpus = spark.read.parquet(corpus_path)
+
+    # warm the JVM/Python workers once (not timed)
+    corpus.limit(64).count()
+    extract_spans(corpus.limit(64)).count()
+
+    timed(
+        "extract_main",
+        lambda: extract_spans(prepare_partitions(corpus, CPUS * 4)).count(),
+    )
+    timed(
+        "selector_scan",
+        lambda: select_spans(corpus, "article p.intro", mode="text").count(),
+    )
+    timed(
+        "spans_oracle",
+        lambda: entrymod._q_spans_main(spark, SF_DIR).count(),
+    )
+    timed(
+        "forms",
+        lambda: entrymod._q_extract_form(spark, SF_DIR).count(),
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def _dedup():
+        from parse_html_spark.functions.dedup import exact_duplicates
+
+        doubled = docs.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+        )
+        return exact_duplicates(doubled).count()
+
+    timed("dedup_exact", _dedup)
+
+    def _minhash():
+        from parse_html_spark.functions.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(docs).count()
+
+    timed("minhash_lsh", _minhash)
+
+    def _cosine():
+        from parse_html_spark.functions.similarity import cosine_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        return cosine_topk(emb, list(qvec), k=10).count()
+
+    timed("cosine_topk", _cosine)
+
+    total = round(sum(times.values()), 3)
+    extract_docs_per_sec = round(BENCH_DOCS / times["extract_main"], 1)
+    result = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": CPUS,
+        "bench_docs": BENCH_DOCS,
+        "extract_docs_per_sec": extract_docs_per_sec,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

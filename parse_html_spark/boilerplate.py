@@ -4,9 +4,10 @@ node index, emitting ordered (kind, text, media_ref, order) spans.
 Public heuristic lineage: Kohlschuetter et al., "Boilerplate Detection
 using Shallow Text Features" (WSDM 2010) -- link density + text mass;
 re-expressed as vectorized interval arithmetic over the tokenizer's text
-regions (prefix sums, O(log) per query). The exact rules below are the
-PINNED SPEC: the pure-Python oracle in tests uses the same definitions,
-and the Spark pipeline must reproduce them byte-for-byte.
+regions (prefix sums + batched searchsorted, O(nodes log regions) per
+document with NO per-node Python in the scoring loop). The exact rules
+below are the PINNED SPEC: the pure-Python oracle in tests uses the same
+definitions, and the Spark pipeline must reproduce them byte-for-byte.
 
 Pinned algorithm (deterministic):
 
@@ -20,9 +21,10 @@ Pinned algorithm (deterministic):
    or that has >= 2 top-level anchors and anchor chars > 0.65 * text
    chars (link-density boilerplate).
 4. emit, in byte order: trimHtml'd non-empty text pieces (kind='text')
-   from unpruned text regions, and media refs (kind='media') for
-   unpruned img/embed nodes (media_ref = src, else data-src, else '').
-   Input media spans interleave by their assembled byte position.
+   from unpruned text regions -- split additionally at input-media
+   positions -- and media refs (kind='media') for unpruned img/embed
+   nodes (media_ref = src, else data-src, else ''). Input media spans
+   interleave by assembled byte position (inclusive container end).
 5. order = 0..n-1 over the emitted sequence.
 """
 
@@ -37,81 +39,106 @@ from .tokenizer import DocIndex, trim_html
 BOILER_TAGS = frozenset(
     "nav footer aside header script style form iframe noscript".split()
 )
-MEDIA_TAGS = frozenset(("img", "embed"))
+MEDIA_TAGS = ("img", "embed")
 
 DESCEND_FRACTION = 0.7
 LINK_DENSITY_MAX = 0.65
 MIN_ANCHORS = 2
 
+_EMPTY = np.zeros(0, dtype=np.int64)
+
+
+def _mass_many(starts, ends, cum, lo, hi):
+    """Vectorized: total covered length of [lo_i, hi_i) against the
+    sorted disjoint regions (starts, ends) with prefix sums cum."""
+    lo = np.asarray(lo, dtype=np.int64)
+    hi = np.asarray(hi, dtype=np.int64)
+    if len(starts) == 0:
+        return np.zeros(len(lo), dtype=np.int64)
+    a = np.searchsorted(ends, lo, side="right")
+    b = np.searchsorted(starts, hi, side="left")
+    valid = b > a
+    a_c = np.minimum(a, len(starts) - 1)
+    b_c = np.maximum(b - 1, 0)
+    total = cum[b] - cum[a]
+    left = np.maximum(0, lo - starts[a_c])
+    right = np.maximum(0, ends[b_c] - hi)
+    out = np.where(valid, total - left - right, 0)
+    return np.maximum(out, 0)
+
 
 class TextMass:
-    """Prefix-sum index over text regions + top-level anchor regions."""
+    """Batched prefix-sum index over text regions + top-level anchors."""
 
     def __init__(self, doc: DocIndex):
         self.doc = doc
-        ts, te = doc.tstart, doc.tend
-        self.ts = ts
-        self.te = te
-        lens = (te - ts).astype(np.int64)
-        self.cum = np.concatenate(([0], np.cumsum(lens)))
-        # top-level anchors: <a> nodes with no <a> ancestor
-        a_ids = [i for i in range(doc.n) if doc.tag[i] == "a"]
-        top: list[int] = []
-        a_set = set(a_ids)
-        for i in a_ids:
-            p = int(doc.parent[i])
-            is_top = True
-            while p >= 0:
-                if p in a_set:
-                    is_top = False
-                    break
-                p = int(doc.parent[p])
-            if is_top:
-                top.append(i)
-        # anchor text regions = text regions clipped to anchor contents
-        astarts: list[int] = []
-        aends: list[int] = []
-        for i in top:
-            lo, hi = int(doc.cstart[i]), int(doc.cend[i])
-            a = int(np.searchsorted(te, lo, side="right"))
-            b = int(np.searchsorted(ts, hi, side="left"))
-            for k in range(a, b):
-                s = max(int(ts[k]), lo)
-                e = min(int(te[k]), hi)
-                if e > s:
-                    astarts.append(s)
-                    aends.append(e)
-        self.top_anchors = top
-        self.anchor_starts = np.asarray(
-            sorted(int(doc.start[i]) for i in top), dtype=np.int64
-        )
-        self.ats = np.asarray(astarts, dtype=np.int64)
-        self.ate = np.asarray(aends, dtype=np.int64)
-        alens = self.ate - self.ats
-        self.acum = np.concatenate(([0], np.cumsum(alens)))
+        self.ts = doc.tstart
+        self.te = doc.tend
+        self.cum = np.concatenate(([0], np.cumsum(self.te - self.ts)))
 
-    def _mass(self, starts, ends, cum, lo: int, hi: int) -> int:
-        if hi <= lo or len(starts) == 0:
-            return 0
-        a = int(np.searchsorted(ends, lo, side="right"))
-        b = int(np.searchsorted(starts, hi, side="left"))
-        if a >= b:
-            return 0
-        total = int(cum[b] - cum[a])
-        total -= max(0, lo - int(starts[a]))
-        total -= max(0, int(ends[b - 1]) - hi)
-        return max(0, total)
+        # top-level <a> nodes: in doc order, an <a> is top-level iff it
+        # starts at/after the end of the previous top-level <a> (nested
+        # anchors are contained intervals)
+        tag_arr = doc.tag_arr
+        a_ids = np.flatnonzero(tag_arr == "a")
+        top: list[int] = []
+        cur_end = -1
+        for i in a_ids:
+            s = int(doc.start[i])
+            if s >= cur_end:
+                top.append(int(i))
+                cur_end = int(doc.end[i])
+        self.top_anchors = top
+        if top:
+            t_arr = np.asarray(top, dtype=np.int64)
+            self.anchor_starts = doc.start[t_arr]
+            # anchor text regions = text regions clipped to anchor contents
+            alo = doc.cstart[t_arr]
+            ahi = doc.cend[t_arr]
+            astarts: list[np.ndarray] = []
+            aends: list[np.ndarray] = []
+            a_idx = np.searchsorted(self.te, alo, side="right")
+            b_idx = np.searchsorted(self.ts, ahi, side="left")
+            for k in range(len(t_arr)):
+                a_k, b_k = int(a_idx[k]), int(b_idx[k])
+                if a_k >= b_k:
+                    continue
+                s_clip = np.maximum(self.ts[a_k:b_k], alo[k])
+                e_clip = np.minimum(self.te[a_k:b_k], ahi[k])
+                keep = e_clip > s_clip
+                astarts.append(s_clip[keep])
+                aends.append(e_clip[keep])
+            self.ats = np.concatenate(astarts) if astarts else _EMPTY
+            self.ate = np.concatenate(aends) if aends else _EMPTY
+        else:
+            self.anchor_starts = _EMPTY
+            self.ats = _EMPTY
+            self.ate = _EMPTY
+        self.acum = np.concatenate(([0], np.cumsum(self.ate - self.ats)))
+
+    # vectorized forms ------------------------------------------------------
+
+    def text_len_many(self, lo, hi):
+        return _mass_many(self.ts, self.te, self.cum, lo, hi)
+
+    def anchor_len_many(self, lo, hi):
+        return _mass_many(self.ats, self.ate, self.acum, lo, hi)
+
+    def anchors_in_many(self, lo, hi):
+        return np.searchsorted(self.anchor_starts, hi, side="left") - np.searchsorted(
+            self.anchor_starts, lo, side="left"
+        )
+
+    # scalar conveniences ---------------------------------------------------
 
     def text_len(self, lo: int, hi: int) -> int:
-        return self._mass(self.ts, self.te, self.cum, lo, hi)
+        return int(self.text_len_many([lo], [hi])[0])
 
     def anchor_len(self, lo: int, hi: int) -> int:
-        return self._mass(self.ats, self.ate, self.acum, lo, hi)
+        return int(self.anchor_len_many([lo], [hi])[0])
 
     def anchors_in(self, lo: int, hi: int) -> int:
-        a = int(np.searchsorted(self.anchor_starts, lo, side="left"))
-        b = int(np.searchsorted(self.anchor_starts, hi, side="left"))
-        return b - a
+        return int(self.anchors_in_many(np.asarray([lo]), np.asarray([hi]))[0])
 
     def nonanchor(self, lo: int, hi: int) -> int:
         return self.text_len(lo, hi) - self.anchor_len(lo, hi)
@@ -120,58 +147,63 @@ class TextMass:
 def find_main_container(doc: DocIndex, tm: TextMass) -> tuple[int, int]:
     """Byte range of the main-content container (rule 2)."""
     lo, hi = 0, len(doc.html)
-    cur_node = -1  # virtual root
+    cur_node = -1
+    m_cur = tm.nonanchor(lo, hi)  # computed once; children reuse m[j]
     while True:
-        m_cur = tm.nonanchor(lo, hi)
         if m_cur <= 0:
             return lo, hi
-        kids = (
-            doc.roots() if cur_node < 0 else doc.children_of(cur_node)
-        )
-        best = None
-        best_m = -1
-        for k in kids:
-            klo, khi = int(doc.cstart[k]), int(doc.cend[k])
-            mk = tm.nonanchor(klo, khi)
-            if mk > best_m:
-                best_m = mk
-                best = k
-        if best is None or best_m < DESCEND_FRACTION * m_cur:
+        kids = doc.roots() if cur_node < 0 else doc.children_of(cur_node)
+        if not kids:
             return lo, hi
-        cur_node = best
-        lo, hi = int(doc.cstart[best]), int(doc.cend[best])
+        k_arr = np.asarray(kids, dtype=np.int64)
+        klo = doc.cstart[k_arr]
+        khi = doc.cend[k_arr]
+        m = tm.text_len_many(klo, khi) - tm.anchor_len_many(klo, khi)
+        j = int(np.argmax(m))  # ties: first (earliest start) wins
+        if m[j] < DESCEND_FRACTION * m_cur:
+            return lo, hi
+        cur_node = int(k_arr[j])
+        lo, hi = int(klo[j]), int(khi[j])
+        m_cur = int(m[j])
 
 
-def pruned_ranges(doc: DocIndex, tm: TextMass, lo: int, hi: int) -> list[tuple[int, int]]:
-    """Outer byte ranges of boilerplate subtrees inside [lo, hi) (rule 3)."""
+def pruned_ranges(
+    doc: DocIndex, tm: TextMass, lo: int, hi: int
+) -> list[tuple[int, int]]:
+    """Outer byte ranges of boilerplate subtrees inside [lo, hi) (rule 3),
+    computed with one vectorized scoring pass over candidate nodes."""
+    ids = doc.nodes_in_range(lo, hi)
+    if len(ids) == 0:
+        return []
+    tags = doc.tag_arr[ids]
+    boiler = np.isin(tags, _BOILER_ARR)
+    cs = doc.cstart[ids]
+    ce = doc.cend[ids]
+    tl = tm.text_len_many(cs, ce)
+    al = tm.anchor_len_many(cs, ce)
+    na = tm.anchors_in_many(cs, ce)
+    dense = (na >= MIN_ANCHORS) & (tl > 0) & (al > LINK_DENSITY_MAX * tl)
+    cand = np.flatnonzero(boiler | dense)
     out: list[tuple[int, int]] = []
     last_end = -1
-    for j in doc.nodes_in_range(lo, hi):
-        j = int(j)
+    for k in cand:
+        j = int(ids[k])
         s, e = int(doc.start[j]), int(doc.end[j])
         if s < last_end:
-            continue  # already inside a pruned subtree
-        tag = doc.tag[j]
-        prune = tag in BOILER_TAGS
-        if not prune:
-            tl = tm.text_len(int(doc.cstart[j]), int(doc.cend[j]))
-            al = tm.anchor_len(int(doc.cstart[j]), int(doc.cend[j]))
-            na = tm.anchors_in(int(doc.cstart[j]), int(doc.cend[j]))
-            prune = na >= MIN_ANCHORS and tl > 0 and al > LINK_DENSITY_MAX * tl
-        if prune:
-            out.append((s, e))
-            last_end = e
+            continue  # nested inside an already-pruned subtree
+        out.append((s, e))
+        last_end = e
     return out
+
+
+_BOILER_ARR = np.asarray(sorted(BOILER_TAGS), dtype=object)
 
 
 def main_content_spans(
     doc: DocIndex,
     media_positions: list[tuple[int, str]] | None = None,
 ) -> list[tuple[str, str, str | None]]:
-    """Ordered output spans (kind, text, media_ref) for one document.
-
-    media_positions: assembled byte positions of INPUT media spans
-    (position, media_ref), interleaved into the output by position."""
+    """Ordered output spans (kind, text, media_ref) for one document."""
     tm = TextMass(doc)
     lo, hi = find_main_container(doc, tm)
     pruned = pruned_ranges(doc, tm, lo, hi)
@@ -185,51 +217,49 @@ def main_content_spans(
     # input media spans split text regions: the interleaved sequence must
     # keep text-before / media / text-after as separate output spans
     media_cuts = sorted(p for p, _ in (media_positions or []))
-    # text pieces from unpruned text regions
     ts, te = doc.tstart, doc.tend
     a = int(np.searchsorted(te, lo, side="right"))
     b = int(np.searchsorted(ts, hi, side="left"))
+    html = doc.html
     for k in range(a, b):
         s = max(int(ts[k]), lo)
         e = min(int(te[k]), hi)
         if e <= s:
             continue
-        # split the region around pruned ranges and at media cut points
-        pieces: list[tuple[int, int]] = []
         pos = s
         ci = bisect.bisect_right(media_cuts, s)
         cuts = []
         while ci < len(media_cuts) and media_cuts[ci] < e:
             cuts.append((media_cuts[ci], media_cuts[ci]))
             ci += 1
-        breaks = sorted(pruned + cuts)
+        breaks = sorted(pruned + cuts) if (pruned or cuts) else ()
         for ps, pe in breaks:
             if pe < pos or ps >= e:
                 continue
             if ps > pos:
-                pieces.append((pos, ps))
+                t = trim_html(html[pos:ps])
+                if t:
+                    events.append((pos, 1, "text", t, None))
             pos = max(pos, pe)
         if pos < e:
-            pieces.append((pos, e))
-        for s2, e2 in pieces:
-            t = trim_html(doc.html[s2:e2])
+            t = trim_html(html[pos:e])
             if t:
-                events.append((s2, 1, "text", t, None))
-    # media nodes (img/embed) inside the container, unpruned
-    # media events get priority 0: an input media span sitting exactly at
-    # a text-region boundary comes BEFORE the text that starts there (it
-    # was between the two text spans in the input sequence)
-    for j in doc.nodes_in_range(lo, hi):
-        j = int(j)
-        if doc.tag[j] in MEDIA_TAGS and not in_pruned(int(doc.start[j])):
-            attrs = doc.attrs(j)
-            ref = attrs.get("src") or attrs.get("data-src") or ""
-            events.append((int(doc.start[j]), 0, "media", "", ref))
-    # input media spans by assembled position; the upper bound is
-    # INCLUSIVE: a media span sitting exactly at the container's content
-    # end (text ended right before it) still belongs to the document tail
+                events.append((pos, 1, "text", t, None))
+    # media nodes (img/embed) inside the container, unpruned; priority 0:
+    # an input media span at a text boundary precedes the following text
+    ids = doc.nodes_in_range(lo, hi)
+    if len(ids):
+        m_mask = np.isin(doc.tag_arr[ids], np.asarray(MEDIA_TAGS, dtype=object))
+        for j in ids[m_mask]:
+            j = int(j)
+            if not in_pruned(int(doc.start[j])):
+                attrs = doc.attrs(j)
+                ref = attrs.get("src") or attrs.get("data-src") or ""
+                events.append((int(doc.start[j]), 0, "media", "", ref))
     if media_positions:
         for pos, ref in media_positions:
+            # inclusive upper bound: media exactly at the container's
+            # content end still belongs to the document tail
             if lo <= pos <= hi and not in_pruned(pos):
                 events.append((pos, 0, "media", "", ref))
     events.sort(key=lambda ev: (ev[0], ev[1]))

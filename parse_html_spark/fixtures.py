@@ -184,7 +184,9 @@ def gen_docs(n: int, seed: int = 42, start: int = 0):
         yield gen_doc(i, seed)
 
 
-def write_corpus_parquet(path: str, n: int, seed: int = 42, rows_per_group: int = 512) -> None:
+def write_corpus_parquet(
+    path: str, n: int, seed: int = 42, rows_per_group: int = 512, start: int = 0
+) -> None:
     """Write the span-doc corpus with pyarrow (no Spark needed); multiple
     row groups so Spark can split the scan."""
     import pyarrow as pa
@@ -204,7 +206,7 @@ def write_corpus_parquet(path: str, n: int, seed: int = 42, rows_per_group: int 
     writer = pq.ParquetWriter(path, schema)
     batch_ids: list[str] = []
     batch_spans: list[list] = []
-    for i in range(n):
+    for i in range(start, start + n):
         d = gen_doc(i, seed)
         batch_ids.append(d["doc_id"])
         batch_spans.append(

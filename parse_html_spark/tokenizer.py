@@ -129,7 +129,15 @@ class DocIndex:
     __slots__ = (
         "html", "n", "tag", "start", "end", "cstart", "cend", "parent",
         "depth", "tstart", "tend", "_attr_src", "_attrs", "_children",
+        "_tag_arr",
     )
+
+    @property
+    def tag_arr(self) -> "np.ndarray":
+        """Tags as a numpy object array (vectorized compares), cached."""
+        if self._tag_arr is None:
+            self._tag_arr = np.asarray(self.tag, dtype=object)
+        return self._tag_arr
 
     def __init__(self, html: str):
         self.html = html
@@ -195,6 +203,7 @@ class DocIndex:
         self.parent = parent
         self.depth = depth
         self._children: list | None = None
+        self._tag_arr = None
 
         # plain-text regions = gaps between markup tokens
         tstart: list[int] = []
@@ -275,10 +284,13 @@ class DocIndex:
         return np.arange(a, b, dtype=np.int64)
 
 
+_TRIM_RE = re.compile(r"\s\s+")
+
+
 def trim_html(s: str) -> str:
     """Reference trimHtml [:429-434]: collapse whitespace runs to one
     space; a pure-whitespace (non-empty) result becomes ''."""
-    s = re.sub(r"\s\s+", " ", s)
+    s = _TRIM_RE.sub(" ", s)
     if s and s.isspace():
         return ""
     return s

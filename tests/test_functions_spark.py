@@ -1,0 +1,139 @@
+"""Corpus-operator tests: dedup, similarity, text analysis, media stubs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog tail"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "der hund und die katze ist das haus"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    from parse_html_spark.functions.dedup import dedup_exact, exact_duplicates
+
+    dups = exact_duplicates(docs).collect()
+    assert len(dups) == 1
+    assert dups[0]["n_docs"] == 2 and dups[0]["keeper"] == 1
+    kept = dedup_exact(docs)
+    assert kept.count() == 5
+    assert kept.filter(F.col("doc_id") == 2).count() == 0
+
+
+def test_minhash_finds_near_dup(spark, docs):
+    from parse_html_spark.functions.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs  # identical
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup shares bands
+    assert (1, 4) not in pairs  # unrelated
+
+
+def test_simhash_near_pairs(spark, docs):
+    from parse_html_spark.functions.dedup import simhash64, simhash_near_pairs
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sh[1] == sh[2]
+    assert sh[6] == 0
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs
+
+
+def test_token_jaccard(spark, docs):
+    from parse_html_spark.functions.dedup import token_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in token_jaccard_pairs(docs, min_jaccard=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.8 < pairs[(1, 3)] < 1.0
+
+
+def test_cosine_topk(spark):
+    from parse_html_spark.functions.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = cosine_topk(df, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 4]
+    assert top[0]["cosine"] == 1.0
+    # LSH variant finds the same top-1 (query bucket contains it)
+    lsh = lsh_cosine_topk(df, [1.0, 0.0, 0.0], k=1, bits=2)
+    assert lsh.collect()[0]["vec_id"] == 0
+
+
+def test_textfn_on_real_table(spark):
+    from parse_html_spark.functions.textfn import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = df.select(
+        token_count(F.col("text")),
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).toPandas()
+    assert (out["token_count"] > 0).all()
+    assert out["q"].between(0, 1).all()
+    assert set(out["lang_pred"]) <= {"en", "de", "fr", "es", "und"}
+    assert out["fp"].str.len().eq(32).all()
+
+
+def test_media_feature_stub(spark):
+    from parse_html_spark.functions.media import (
+        attach_payload,
+        extract_media_features,
+    )
+
+    df = spark.createDataFrame(
+        [("media://img-1-2",), ("media://ext-3-0",)], "media_ref string"
+    )
+    feats = extract_media_features(attach_payload(df)).collect()
+    assert len(feats) == 2
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert len(r["feature"]) == 8
+    # deterministic: same input -> same checksum
+    again = extract_media_features(attach_payload(df)).collect()
+    assert {r["checksum"] for r in feats} == {r["checksum"] for r in again}
+
+
+def test_media_stub_raises_without_fake(spark):
+    from parse_html_spark.functions.media import (
+        attach_payload,
+        extract_media_features,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame([("media://x",)], "media_ref string")
+    with pytest.raises(Exception) as ei:
+        extract_media_features(attach_payload(df), fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)

@@ -1,0 +1,157 @@
+"""End-to-end Spark pipeline tests (local[4], Arrow mapInPandas path --
+the real distributed codepath, not pandas-only)."""
+
+import json
+import os
+
+import pytest
+
+from parse_html_spark.dom import PH
+from parse_html_spark.fixtures import gen_doc, write_corpus_parquet
+from parse_html_spark.pipeline import (
+    assemble,
+    extract_forms_df,
+    extract_spans,
+    extract_tables_df,
+    prepare_partitions,
+    run_resumable,
+    select_spans,
+)
+
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("corpus") / "docs.parquet")
+    write_corpus_parquet(path, N_DOCS)
+    return spark.read.parquet(path)
+
+
+def test_extract_spans_invariants(spark, corpus):
+    out = extract_spans(corpus).toPandas()
+    assert set(out["kind"].unique()) <= {"text", "media"}
+    assert out["doc_id"].nunique() == N_DOCS
+    for doc_id, grp in out.groupby("doc_id"):
+        orders = sorted(grp["order"])
+        assert orders == list(range(len(orders))), doc_id
+    # text spans are non-empty; media spans carry refs and empty text
+    texts = out[out["kind"] == "text"]
+    media = out[out["kind"] == "media"]
+    assert (texts["text"].str.len() > 0).all()
+    assert (media["text"] == "").all()
+    assert media["media_ref"].notna().all()
+
+
+def test_extract_spans_strips_boilerplate(spark, corpus):
+    out = extract_spans(corpus).toPandas()
+    joined = " ".join(out[out["kind"] == "text"]["text"])
+    # nav/footer/aside link text lives only inside <a> inside boiler tags;
+    # none of the href path fragments may leak into extracted text
+    assert "/ref/" not in joined  # hrefs never in text at all
+    # input media spans survive with their refs
+    refs = set(out[out["kind"] == "media"]["media_ref"])
+    assert any(r.startswith("media://img-") for r in refs)
+
+
+def test_extract_spans_matches_local_engine(spark, corpus):
+    """The distributed result equals the per-doc engine run locally."""
+    from parse_html_spark.boilerplate import main_content_spans
+    from parse_html_spark.tokenizer import DocIndex
+
+    out = extract_spans(corpus).toPandas()
+    for i in [0, 3, 17]:
+        d = gen_doc(i)
+        html, media = assemble(d["spans"])
+        expected = main_content_spans(DocIndex(html), media)
+        got = out[out["doc_id"] == d["doc_id"]].sort_values("order")
+        got_spans = list(zip(got["kind"], got["text"], got["media_ref"]))
+        norm = [(k, t, r if r is not None else None) for k, t, r in expected]
+        assert got_spans == norm, d["doc_id"]
+
+
+def test_select_spans_matches_ph(spark, corpus):
+    for selector in ["p", "article .intro", "table td", "a[href^=\"/\"]"]:
+        out = select_spans(corpus, selector, mode="text").toPandas()
+        for i in [1, 5]:
+            d = gen_doc(i)
+            html, _ = assemble(d["spans"])
+            ph = PH(html).find(selector)
+            vals = [
+                PH(html, ph.doc, [n]).text() for n in ph.nodes
+            ]
+            got = out[out["doc_id"] == d["doc_id"]].sort_values("match_order")
+            assert list(got["value"]) == vals, (selector, i)
+
+
+def test_tables_and_forms(spark, corpus):
+    tdf = extract_tables_df(corpus).toPandas()
+    assert len(tdf) > 0
+    for cj in tdf["cells_json"].head(20):
+        json.loads(cj)  # valid JSON
+    fdf = extract_forms_df(corpus).toPandas()
+    assert len(fdf) == N_DOCS
+    forms = [json.loads(x) for x in fdf["form_json"]]
+    assert any(f for f in forms)  # some docs have forms
+    assert any("go" in f for f in forms if f)
+
+
+def test_media_interleave_golden(spark):
+    rows = [
+        (
+            "d1",
+            [
+                {"kind": "text", "text": "<div id=m><p>alpha ", "media_ref": None, "offset": 0},
+                {"kind": "img", "text": "", "media_ref": "media://x", "offset": 19},
+                {"kind": "text", "text": "beta</p></div>", "media_ref": None, "offset": 20},
+            ],
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = extract_spans(df).toPandas().sort_values("order")
+    got = list(zip(out["kind"], out["text"], out["media_ref"]))
+    assert got == [
+        ("text", "alpha ", None),
+        ("media", "", "media://x"),
+        ("text", "beta", None),
+    ]
+
+
+def test_prepare_partitions_runs(spark, corpus):
+    df = prepare_partitions(corpus, partitions=4, mega_chars=10_000)
+    assert extract_spans(df).count() == extract_spans(corpus).count()
+
+
+def test_resumable_kill_and_resume(spark, tmp_path):
+    src = str(tmp_path / "in.parquet")
+    write_corpus_parquet(src, 30)
+    out1 = str(tmp_path / "single")
+    run_resumable(spark, src, out1, buckets=4, partitions=4)
+    full = spark.read.parquet(os.path.join(out1, "bucket=*"))
+    n_full = full.count()
+
+    # simulate a crash after 2 buckets: rewind the manifest + delete dirs
+    out2 = str(tmp_path / "resumed")
+    run_resumable(spark, src, out2, buckets=4, partitions=4)
+    manifest_path = os.path.join(out2, "_manifest.json")
+    with open(manifest_path) as fh:
+        manifest = json.load(fh)
+    import shutil
+
+    for b in manifest["done"][2:]:
+        shutil.rmtree(os.path.join(out2, f"bucket={b}"))
+    manifest["done"] = manifest["done"][:2]
+    with open(manifest_path, "w") as fh:
+        json.dump(manifest, fh)
+
+    # resume: must recompute exactly the missing buckets
+    run_resumable(spark, src, out2, buckets=4, partitions=4)
+    resumed = spark.read.parquet(os.path.join(out2, "bucket=*"))
+    assert resumed.count() == n_full
+    a = {tuple(r) for r in full.collect()}
+    b = {tuple(r) for r in resumed.collect()}
+    assert a == b

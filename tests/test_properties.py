@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis): tokenizer structure vs a known
+generated tree, byte-coverage round-trip, and selector semantics vs an
+independent oracle computed from the generation record."""
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from parse_html_spark.dom import PH
+from parse_html_spark.tokenizer import DocIndex
+
+TAGS = ["div", "section", "p", "span", "em", "ul", "li"]
+WORDS = ["alpha", "beta", "gamma", "delta", "x1", "y2"]
+
+
+@st.composite
+def html_tree(draw, depth=0):
+    """Returns (html, nodes) where nodes = [(tag, parent_idx)] in
+    document order -- the ground-truth tree."""
+    tag = draw(st.sampled_from(TAGS))
+    n_attrs = draw(st.integers(0, 2))
+    attrs = ""
+    for k in range(n_attrs):
+        name = draw(st.sampled_from(["class", "id", "data-k"]))
+        val = draw(st.sampled_from(WORDS))
+        attrs += f' {name}="{val}"'
+    n_children = 0 if depth >= 3 else draw(st.integers(0, 3))
+    inner = ""
+    child_specs = []
+    for _ in range(n_children):
+        kind = draw(st.sampled_from(["text", "elem"]))
+        if kind == "text":
+            inner += draw(st.sampled_from(WORDS)) + " "
+        else:
+            chtml, chnodes = draw(html_tree(depth=depth + 1))
+            child_specs.append((len(inner), chtml, chnodes))
+            inner += chtml
+    html = f"<{tag}{attrs}>{inner}</{tag}>"
+    nodes = [(tag, -1)]
+    for _off, _chtml, chnodes in child_specs:
+        base = len(nodes)
+        for ctag, cparent in chnodes:
+            nodes.append((ctag, base + cparent if cparent >= 0 else 0))
+    return html, nodes
+
+
+@settings(max_examples=120, deadline=None)
+@given(html_tree())
+def test_tree_structure_matches_generation(tree):
+    html, nodes = tree
+    d = DocIndex(html)
+    assert d.tag == [t for t, _ in nodes]
+    assert [int(p) for p in d.parent] == [p for _, p in nodes]
+
+
+@settings(max_examples=120, deadline=None)
+@given(html_tree())
+def test_byte_coverage_roundtrip(tree):
+    """Every byte is either markup (inside some token) or text region;
+    text regions + node outer spans reconstruct the document exactly."""
+    html, _ = tree
+    d = DocIndex(html)
+    covered = bytearray(len(html))
+    for s, e in zip(d.tstart, d.tend):
+        for i in range(int(s), int(e)):
+            covered[i] += 1
+    text = "".join(
+        html[int(s):int(e)] for s, e in zip(d.tstart, d.tend)
+    )
+    assert max(covered, default=0) <= 1  # regions never overlap
+    assert text == d.text_between(0, len(html))
+    # offsets strictly increasing, intervals nested properly
+    for i in range(d.n):
+        p = int(d.parent[i])
+        if p >= 0:
+            assert int(d.start[p]) < int(d.start[i])
+            assert int(d.end[i]) <= int(d.end[p])
+
+
+def _descendants(nodes, i):
+    return [j for j in range(len(nodes)) if _is_anc(nodes, i, j)]
+
+
+def _is_anc(nodes, anc, j):
+    p = nodes[j][1]
+    while p >= 0:
+        if p == anc:
+            return True
+        p = nodes[p][1]
+    return False
+
+
+@settings(max_examples=100, deadline=None)
+@given(html_tree(), st.sampled_from(TAGS), st.sampled_from(TAGS))
+def test_descendant_selector_vs_oracle(tree, outer, inner):
+    """find('outer inner') == independent oracle on the generated tree."""
+    html, nodes = tree
+    got = PH(html).find(f"{outer} {inner}")
+    d = got.doc
+    got_ids = set(got.nodes)
+    expect = set()
+    for i, (t, _p) in enumerate(nodes):
+        if t != outer:
+            continue
+        for j in _descendants(nodes, i):
+            if nodes[j][0] == inner:
+                expect.add(j)
+    assert got_ids == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(html_tree(), st.sampled_from(TAGS))
+def test_direct_child_selector_vs_oracle(tree, child):
+    html, nodes = tree
+    root_tag = nodes[0][0]
+    got = set(PH(html).find(f"{root_tag} > {child}").nodes)
+    expect = {
+        j
+        for j, (t, p) in enumerate(nodes)
+        if t == child and p >= 0 and nodes[p][0] == root_tag
+    }
+    assert got == expect
+
+
+@settings(max_examples=80, deadline=None)
+@given(html_tree())
+def test_text_equals_concatenated_words(tree):
+    """text() of the root == all text regions in order (strip_tags)."""
+    html, _ = tree
+    ph = PH(html)
+    d = DocIndex(html)
+    assert ph.text() == d.text_between(0, len(html))

@@ -1,0 +1,35 @@
+"""Structured Streaming: incremental extraction with checkpoint resume."""
+
+import os
+
+from parse_html_spark.fixtures import write_corpus_parquet
+from parse_html_spark.pipeline import extract_spans
+from parse_html_spark.streaming import extract_spans_stream
+
+
+def test_stream_matches_batch_and_resumes(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    write_corpus_parquet(os.path.join(in_dir, "part1.parquet"), 10)
+
+    q = extract_spans_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out_dir)
+    batch1 = extract_spans(
+        spark.read.parquet(os.path.join(in_dir, "part1.parquet"))
+    )
+    assert got1.count() == batch1.count()
+
+    # a new file lands; restart with the same checkpoint: ONLY the new
+    # file is processed (incremental), totals now cover both
+    write_corpus_parquet(os.path.join(in_dir, "part2.parquet"), 5, start=100)
+    q2 = extract_spans_stream(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir)
+    batch2 = extract_spans(
+        spark.read.parquet(os.path.join(in_dir, "part2.parquet"))
+    )
+    assert got2.count() == batch1.count() + batch2.count()
+    assert got2.select("doc_id").distinct().count() == 15
