@@ -226,6 +226,32 @@ def _q_spans_media(spark, sf_dir):
     )
 
 
+def _q_traversal(spark, sf_dir):
+    """prev/next/parent traversal ops (engine extensions) end-to-end."""
+    from parse_html_spark.pipeline import apply_ph
+
+    def probe(ph):
+        lead = ph.find("p.lead")
+        second_span = ph.find("span.m").eq(1)
+        return {
+            "parent_id": lead.parent().attr("id"),
+            "prev_text": second_span.prev().text(),
+            "next_tag": ph.find("nav").next().attr("id"),
+        }
+
+    out = apply_ph(
+        _doc_spans(spark, sf_dir),
+        probe,
+        "parent_id string, prev_text string, next_tag string, doc_id string",
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "parent_id",
+        "prev_text",
+        "next_tag",
+    )
+
+
 def _q_text_metrics(spark, sf_dir):
     from parse_html_spark.functions.textfn import (
         STOPWORDS,
@@ -365,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_table": _q_extract_table,
         "extract_form": _q_extract_form,
         "post_form": _q_post_form,
+        "traversal": _q_traversal,
         "spans_main": _q_spans_main,
         "spans_media": _q_spans_media,
         "text_metrics": _q_text_metrics,
@@ -415,6 +442,10 @@ def oracle_sql() -> dict[str, str]:
         "post_form": (
             "SELECT doc_id, '{\"lang\": \"' || lang || '\", \"source\": \"' "
             "|| source || '\"}' AS form_json FROM documents"
+        ),
+        "traversal": (
+            "SELECT doc_id, 'main' AS parent_id, lang AS prev_text, "
+            "'main' AS next_tag FROM documents"
         ),
         "spans_main": (
             'SELECT doc_id, 0 AS "order", \'text\' AS kind, text, '

@@ -103,6 +103,97 @@ class PH:
         kids.sort(key=lambda j: int(d.start[j]))
         return PH(self._html, d, kids)
 
+    # -- traversal extensions ----------------------------------------------
+    # The reference stubs prev/next/parent/parents/contents ("// Todo.",
+    # ParseHTML.php:274-328). Parent/sibling pointers are free in the node
+    # table, so we implement them (flagged EXTENSION: excluded from the
+    # reference-fidelity suite, jQuery semantics).
+
+    def _filtered(self, ids: list[int], selector: str | None) -> "PH":
+        d = self._doc
+        if selector is not None:
+            plan = compile_selector(selector)
+            if plan is None:
+                return PH.empty()
+            compounds = [c[0] for c in plan if len(c) == 1]
+            ids = [
+                k for k in ids
+                if any(node_matches(d, comp, k) for comp in compounds)
+            ]
+        if not ids:
+            return PH.empty()
+        ids = sorted(set(ids), key=lambda j: int(d.start[j]))
+        return PH(self._html, d, ids)
+
+    def _siblings(self, offset: int, selector: str | None) -> "PH":
+        d = self._doc
+        out = []
+        for n in self._element_nodes():
+            p = int(d.parent[n])
+            sibs = d.children_of(p) if p >= 0 else d.roots()
+            k = sibs.index(n)
+            if 0 <= k + offset < len(sibs):
+                out.append(sibs[k + offset])
+        return self._filtered(out, selector)
+
+    def prev(self, selector: str | None = None) -> "PH":
+        """EXTENSION: immediately preceding sibling element."""
+        return self._siblings(-1, selector)
+
+    def next(self, selector: str | None = None) -> "PH":
+        """EXTENSION: immediately following sibling element."""
+        return self._siblings(1, selector)
+
+    def parent(self, selector: str | None = None) -> "PH":
+        """EXTENSION: direct parent element of each element."""
+        d = self._doc
+        out = [int(d.parent[n]) for n in self._element_nodes()]
+        return self._filtered([p for p in out if p >= 0], selector)
+
+    def parents(self, selector: str | None = None) -> "PH":
+        """EXTENSION: all ancestors of each element."""
+        d = self._doc
+        out = []
+        for n in self._element_nodes():
+            p = int(d.parent[n])
+            while p >= 0:
+                out.append(p)
+                p = int(d.parent[p])
+        return self._filtered(out, selector)
+
+    def contents_list(self) -> list:
+        """EXTENSION: ordered child content of the first element --
+        trimmed text pieces (str) and child elements (PH)."""
+        d = self._doc
+        nodes = self._element_nodes()
+        if not nodes:
+            return []
+        from .tokenizer import trim_html
+
+        n = nodes[0]
+        out: list = []
+        pos = int(d.cstart[n])
+        for ch in d.children_of(n):
+            t = trim_html(self._html[pos:int(d.start[ch])])
+            if t:
+                out.append(t)
+            out.append(PH(self._html, d, [ch]))
+            pos = int(d.end[ch])
+        t = trim_html(self._html[pos:int(d.cend[n])])
+        if t:
+            out.append(t)
+        return out
+
+    def filter_nodes(self, pred) -> "PH":
+        """Row-level predicate hook (the reference's $callback UDF,
+        ParseHTML.php:508-521): pred(doc, node_id) -> bool, applied to
+        the current selection."""
+        d = self._doc
+        ids = [n for n in (self._nodes or []) if pred(d, n)]
+        if not ids:
+            return PH.empty()
+        return PH(self._html, d, ids)
+
     def eq(self, index: int) -> "PH":
         if self._html is None or index < 0:
             return PH.empty()

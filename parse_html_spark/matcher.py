@@ -31,9 +31,15 @@ import numpy as np
 
 from .conditions import build_conditions, eval_conditions, parse_fields
 from .selector import Compound
-from .tokenizer import DocIndex
+from .tokenizer import KNOWN_TAGS, DocIndex
 
 _WS_SPLIT = re.compile(r"\s")
+
+# R-quirk (reference getElementByAttribute -> validateStartTag
+# [:504, :1481-1488]): attribute-dispatched scans only accept elements
+# whose tag is in the 107-tag HTML whitelist; the tag-dispatched scan
+# does NOT validate (the check is commented out at [:756-758]). So
+# '[title]' never matches <custom-tag title=x>, but 'custom-tag' does.
 
 
 def class_word_match(attrs: dict, conditions: str) -> bool:
@@ -79,8 +85,11 @@ def _is_lone_id(comp: Compound) -> bool:
 
 
 def node_matches(doc: DocIndex, comp: Compound, i: int) -> bool:
-    if comp.tag is not None and doc.tag[i] != comp.tag.lower():
-        return False
+    if comp.tag is not None:
+        if doc.tag[i] != comp.tag.lower():
+            return False
+    elif comp.attributes and doc.tag[i] not in KNOWN_TAGS:
+        return False  # attribute dispatch validates the tag whitelist
     if _is_lone_id(comp):
         return doc.attrs(i).get("id") == comp.attributes[0].value
     return _atoms_match(doc, comp, i)
@@ -93,6 +102,9 @@ def _match_in_range(doc: DocIndex, comp: Compound, lo: int, hi: int) -> list[int
     if comp.tag is not None:
         want = comp.tag.lower()
         cand = [int(j) for j in cand if doc.tag[j] == want]
+    elif comp.attributes:
+        # attribute dispatch: only whitelisted HTML tags are candidates
+        cand = [int(j) for j in cand if doc.tag[j] in KNOWN_TAGS]
     else:
         cand = [int(j) for j in cand]
     if _is_lone_id(comp):

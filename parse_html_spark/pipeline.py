@@ -181,6 +181,25 @@ def extract_forms_df(df):
     return _map_in_pandas(df, run, "doc_id string, form_json string")
 
 
+def apply_ph(df, fn, schema: str):
+    """Generic per-document API hook: fn(PH) -> dict of column values
+    (one output row per doc, doc_id added automatically). This is the
+    distributed form of the reference's chainable per-document API."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, row_spans in zip(pdf["doc_id"], pdf["spans"]):
+                html, _ = assemble(_spans_of_row(row_spans))
+                vals = fn(PH(html))
+                vals["doc_id"] = doc_id
+                rows.append(vals)
+            yield pd.DataFrame(rows)
+
+    return _map_in_pandas(df, run, schema)
+
+
 def extract_post_forms_df(df, trigger: str):
     """preparePostForm over every doc -> (doc_id, form_json): all
     [type=submit] fields except the trigger are dropped (anti-join
