@@ -237,10 +237,15 @@ def doc_size_col():
 
 
 def prepare_partitions(df, partitions: int, mega_chars: int = MEGA_DOC_CHARS):
-    """Skew defusal: hash-distribute normal docs; give mega-docs their own
-    fine-grained partitions so one straggler doc does not pin a task that
-    holds hundreds of other docs (AQE cannot rebalance a Python map stage
-    by value skew -- SURVEY.md section 4.3)."""
+    """Skew defusal: hash-distribute normal docs; give EACH mega-doc its
+    own partition (round-robin over the exact mega count) so the longest
+    task is one biggest document, not a packet of them. AQE cannot
+    rebalance a Python map stage by value skew (SURVEY.md section 4.3).
+
+    At production scale the document size belongs in the table as an
+    ingest-time column (making the size split a pushed-down predicate and
+    the mega count a metadata lookup); here it is computed from spans,
+    which costs one extra cheap columnar scan for the mega branch."""
     from pyspark.sql import functions as F
 
     sized = df.withColumn("_n_chars", doc_size_col())
@@ -249,11 +254,11 @@ def prepare_partitions(df, partitions: int, mega_chars: int = MEGA_DOC_CHARS):
         .repartition(partitions, F.col("doc_id"))
         .drop("_n_chars")
     )
-    big = (
-        sized.filter(F.col("_n_chars") > mega_chars)
-        .repartition(max(partitions // 2, 8), F.col("doc_id"))
-        .drop("_n_chars")
-    )
+    big_rows = sized.filter(F.col("_n_chars") > mega_chars).drop("_n_chars")
+    n_big = big_rows.count()
+    if n_big == 0:
+        return small
+    big = big_rows.repartition(n_big)  # round-robin: exactly 1 doc/partition
     return small.unionByName(big)
 
 
