@@ -103,6 +103,64 @@ def lsh_bucket_col(vec_col, planes) -> "F.Column":
     return bucket
 
 
+def ivf_assignments(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF coarse quantizer with SEEDED random centroids (deterministic,
+    no training pass): cell = argmax centroid dot product. At scale the
+    corpus is bucketed once at ingest and queries probe only their cell
+    (+ neighbors), cutting scored candidates ~n_cells-fold."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_cells, dim)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    best_cell = F.lit(0)
+    best_dot = F.lit(float("-inf"))
+    for c, row in enumerate(cents):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in row]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        improved = dot > best_dot
+        best_cell = F.when(improved, F.lit(c)).otherwise(best_cell)
+        best_dot = F.when(improved, dot).otherwise(best_dot)
+    return df.withColumn("_ivf_cell", best_cell)
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k scoring only the n_probe nearest IVF cells."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_cells, len(query_vec))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    qv = np.asarray(query_vec, dtype="float64")
+    probe = np.argsort(-(cents @ qv))[:n_probe].tolist()
+    assigned = ivf_assignments(df, len(query_vec), n_cells, vec_col, seed)
+    cand = assigned.filter(F.col("_ivf_cell").isin([int(c) for c in probe]))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def lsh_cosine_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -62,12 +62,22 @@ def _spans_of_row(row_spans) -> list[dict]:
     return [s if isinstance(s, dict) else s.asDict() for s in row_spans]
 
 
-def extract_spans(df):
+def extract_spans(df, with_partition_id: bool = False):
     """Main-content extraction: span docs -> ordered output spans
-    (doc_id, order, kind, text, media_ref). The flagship pipeline."""
+    (doc_id, order, kind, text, media_ref). The flagship pipeline.
+
+    with_partition_id=True appends the physical partition id (via
+    TaskContext) so per-partition extraction metrics/lineage can be
+    aggregated relationally downstream (SURVEY.md 2.9)."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        pid = -1
+        if with_partition_id:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else -1
         for pdf in batches:
             out_doc, out_ord, out_kind, out_text, out_ref = [], [], [], [], []
             for doc_id, row_spans in zip(pdf["doc_id"], pdf["spans"]):
@@ -80,17 +90,33 @@ def extract_spans(df):
                     out_kind.append(kind)
                     out_text.append(text)
                     out_ref.append(ref)
-            yield pd.DataFrame(
-                {
-                    "doc_id": out_doc,
-                    "order": pd.array(out_ord, dtype="int32"),
-                    "kind": out_kind,
-                    "text": out_text,
-                    "media_ref": out_ref,
-                }
-            )
+            cols = {
+                "doc_id": out_doc,
+                "order": pd.array(out_ord, dtype="int32"),
+                "kind": out_kind,
+                "text": out_text,
+                "media_ref": out_ref,
+            }
+            if with_partition_id:
+                cols["partition_id"] = pd.array(
+                    [pid] * len(out_doc), dtype="int32"
+                )
+            yield pd.DataFrame(cols)
 
-    return _map_in_pandas(df, run, SPAN_SCHEMA)
+    schema = SPAN_SCHEMA + (", partition_id int" if with_partition_id else "")
+    return _map_in_pandas(df, run, schema)
+
+
+def partition_metrics(df_spans_with_pid):
+    """Per-partition extraction metrics from extract_spans(...,
+    with_partition_id=True) output: docs, spans, text chars."""
+    from pyspark.sql import functions as F
+
+    return df_spans_with_pid.groupBy("partition_id").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_spans"),
+        F.sum(F.length("text")).alias("n_text_chars"),
+    )
 
 
 def select_spans(df, selector: str, mode: str = "text", attr_name: str | None = None):

@@ -86,6 +86,24 @@ def test_cosine_topk(spark):
     assert lsh.collect()[0]["vec_id"] == 0
 
 
+def test_ivf_topk(spark):
+    from parse_html_spark.functions.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [3.0, 1.0, 1.0]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=3).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_cosine_topk(df, q, k=3, n_cells=4, n_probe=4).collect()
+    ]
+    # probing ALL cells must equal exact brute force
+    assert approx == exact
+
+
 def test_textfn_on_real_table(spark):
     from parse_html_spark.functions.textfn import (
         fingerprint,

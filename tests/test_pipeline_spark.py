@@ -121,6 +121,15 @@ def test_media_interleave_golden(spark):
     ]
 
 
+def test_partition_metrics(spark, corpus):
+    from parse_html_spark.pipeline import partition_metrics
+
+    out = extract_spans(corpus, with_partition_id=True)
+    m = partition_metrics(out).toPandas()
+    assert m["n_docs"].sum() == N_DOCS
+    assert (m["n_spans"] > 0).all()
+
+
 def test_prepare_partitions_runs(spark, corpus):
     df = prepare_partitions(corpus, partitions=4, mega_chars=10_000)
     assert extract_spans(df).count() == extract_spans(corpus).count()
