@@ -36,13 +36,17 @@ def _wrapped_html_col():
         F.lit('<a href="/y">y</a></nav>'),
         F.lit('<div id="main" class="content main"><p class="lead" data-n="'),
         F.col("n_chars").cast("string"),
+        F.lit('" title="Mari '),
+        F.col("lang"),
         F.lit('">'),
         F.col("text"),
         F.lit('</p></div><span class="m">'),
         F.col("lang"),
         F.lit('</span><span class="m">'),
         F.col("source"),
-        F.lit('</span><table class="kv"><tr><td>'),
+        F.lit('</span><table class="kv" data-kind="top-'),
+        F.col("source"),
+        F.lit('"><tr><td>'),
         F.col("lang"),
         F.lit("</td><td>"),
         F.col("source"),
@@ -226,6 +230,122 @@ def _q_spans_media(spark, sf_dir):
     )
 
 
+def _q_op_contains(spark, sf_dir):
+    # *= substring, case-INSENSITIVE (SURVEY 2.4)
+    from parse_html_spark.pipeline import select_spans
+
+    out = select_spans(
+        _doc_spans(spark, sf_dir), "p[title*=MARI]", mode="attr", attr_name="title"
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("value").alias("title"),
+    )
+
+
+def _q_op_word(spark, sf_dir):
+    # ~= whitespace-word membership, case-SENSITIVE
+    from parse_html_spark.pipeline import select_spans
+
+    out = select_spans(
+        _doc_spans(spark, sf_dir), "[title~=Mari]", mode="attr", attr_name="title"
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("value").alias("title"),
+    )
+
+
+def _q_op_prefix(spark, sf_dir):
+    # |= prefix (v or v-word), case-SENSITIVE
+    from parse_html_spark.pipeline import select_spans
+
+    out = select_spans(
+        _doc_spans(spark, sf_dir), "[data-kind|=top]", mode="attr",
+        attr_name="data-kind",
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("value").alias("kind"),
+    )
+
+
+def _q_op_endswith(spark, sf_dir):
+    # $= suffix, case-INSENSITIVE; matches only langs ending in 's'
+    from parse_html_spark.pipeline import select_spans
+
+    out = select_spans(
+        _doc_spans(spark, sf_dir), "p[title$=S]", mode="attr", attr_name="title"
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("value").alias("title"),
+    )
+
+
+def _q_op_range(spark, sf_dir):
+    # chained numeric conditions AND'd within one compound
+    from parse_html_spark.pipeline import select_spans
+
+    out = select_spans(
+        _doc_spans(spark, sf_dir), "p[data-n>100][data-n<400]", mode="attr",
+        attr_name="data-n",
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("value").cast("bigint").alias("n"),
+    )
+
+
+def _q_children(spark, sf_dir):
+    from parse_html_spark.pipeline import apply_ph
+
+    def probe(ph):
+        kids = ph.find("table.kv tr").children()
+        return {
+            "n_children": len(kids),
+            "first_cell": kids.eq(0).text() if len(kids) else None,
+        }
+
+    out = apply_ph(
+        _doc_spans(spark, sf_dir),
+        probe,
+        "n_children int, first_cell string, doc_id string",
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_children",
+        "first_cell",
+    )
+
+
+def _q_value_only(spark, sf_dir):
+    from parse_html_spark.extract import extract_element
+    from parse_html_spark.pipeline import apply_ph
+
+    def probe(ph):
+        return {"val": extract_element(ph.find("span.m").eq(0), val_only=True)}
+
+    out = apply_ph(_doc_spans(spark, sf_dir), probe, "val string, doc_id string")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "val"
+    )
+
+
+def _q_text_striptags(spark, sf_dir):
+    """strip_tags of the WHOLE document (text() terminal on fresh obj)."""
+    from parse_html_spark.pipeline import apply_ph
+
+    out = apply_ph(
+        _doc_spans(spark, sf_dir),
+        lambda ph: {"full_text": ph.text()},
+        "full_text string, doc_id string",
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "full_text"
+    )
+
+
 def _q_traversal(spark, sf_dir):
     """prev/next/parent traversal ops (engine extensions) end-to-end."""
     from parse_html_spark.pipeline import apply_ph
@@ -391,6 +511,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_table": _q_extract_table,
         "extract_form": _q_extract_form,
         "post_form": _q_post_form,
+        "op_contains": _q_op_contains,
+        "op_word": _q_op_word,
+        "op_prefix": _q_op_prefix,
+        "op_endswith": _q_op_endswith,
+        "op_range": _q_op_range,
+        "children": _q_children,
+        "value_only": _q_value_only,
+        "text_striptags": _q_text_striptags,
         "traversal": _q_traversal,
         "spans_main": _q_spans_main,
         "spans_media": _q_spans_media,
@@ -442,6 +570,31 @@ def oracle_sql() -> dict[str, str]:
         "post_form": (
             "SELECT doc_id, '{\"lang\": \"' || lang || '\", \"source\": \"' "
             "|| source || '\"}' AS form_json FROM documents"
+        ),
+        "op_contains": (
+            "SELECT doc_id, 'Mari ' || lang AS title FROM documents"
+        ),
+        "op_word": (
+            "SELECT doc_id, 'Mari ' || lang AS title FROM documents"
+        ),
+        "op_prefix": (
+            "SELECT doc_id, 'top-' || source AS kind FROM documents"
+        ),
+        "op_endswith": (
+            "SELECT doc_id, 'Mari ' || lang AS title FROM documents "
+            "WHERE lang LIKE '%s'"
+        ),
+        "op_range": (
+            "SELECT doc_id, n_chars AS n FROM documents "
+            "WHERE n_chars > 100 AND n_chars < 400"
+        ),
+        "children": (
+            "SELECT doc_id, 2 AS n_children, lang AS first_cell FROM documents"
+        ),
+        "value_only": ("SELECT doc_id, lang AS val FROM documents"),
+        "text_striptags": (
+            "SELECT doc_id, 'T' || doc_id || 'x y' || text || lang || source "
+            "|| lang || source || 'c' AS full_text FROM documents"
         ),
         "traversal": (
             "SELECT doc_id, 'main' AS parent_id, lang AS prev_text, "
