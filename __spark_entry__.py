@@ -459,6 +459,25 @@ def _q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(both, max_hamming=6)
 
 
+def _q_events_window(spark, sf_dir):
+    """Tumbling event-time window aggregation over the events stream
+    table (batch form of the streaming rollup)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal sum: exact + associative, so Spark and DuckDB agree
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 def _q_window_eq(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -530,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "events_window": _q_events_window,
         "window_eq": _q_window_eq,
         "anti_join": _q_anti_join,
         "union_dedup": _q_union_dedup,
@@ -654,6 +674,12 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
             "), 4) AS cosine FROM embeddings "
             "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "events_window": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "count(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY 1, 2"
         ),
         "window_eq": (
             "SELECT l_orderkey, l_partkey, l_linenumber FROM ("

@@ -1,0 +1,70 @@
+"""Composed training-data pipeline + dup clustering + plan checks."""
+
+from pyspark.sql import functions as F
+
+from parse_html_spark.fixtures import write_corpus_parquet
+from parse_html_spark.training import (
+    dup_clusters,
+    prepare_training_corpus,
+    quality_filter,
+    reassemble_docs,
+)
+
+
+def test_prepare_training_corpus(spark, tmp_path):
+    src = str(tmp_path / "in.parquet")
+    write_corpus_parquet(src, 30)
+    out = str(tmp_path / "out")
+    stats = prepare_training_corpus(spark, src, out, partitions=4)
+    assert stats["docs_in"] == 30
+    assert 0 < stats["docs_out"] <= 30
+    result = spark.read.parquet(out)
+    assert {"doc_id", "text", "media_refs"} <= set(result.columns)
+    assert result.filter(F.length("text") < 10).count() == 0
+
+
+def test_reassemble_orders_spans(spark):
+    rows = [
+        ("d1", 1, "text", "world", None),
+        ("d1", 0, "text", "hello", None),
+        ("d1", 2, "media", "", "m://x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, `order` int, kind string, text string, media_ref string"
+    )
+    got = reassemble_docs(df).collect()[0]
+    assert got["text"] == "hello world "
+    assert got["media_refs"] == ["m://x"]
+
+
+def test_quality_filter_drops_junk(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs on"),
+        (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+        (3, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = [r["doc_id"] for r in quality_filter(df).collect()]
+    assert kept == [1]
+
+
+def test_dup_clusters_transitive(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster"] for r in dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_parquet_filter_pushdown_plan(spark):
+    """Catalyst sanity: a filter on the documents scan is pushed down."""
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("n_chars") > 400)
+        .select("doc_id", "n_chars")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_chars" in plan
+    assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200]
