@@ -258,4 +258,97 @@ class PH:
         return self._doc.attrs(self._nodes[0], validate=True)
 
 
-__all__ = ["PH", "DocIndex", "compile_selector", "parse_attrs", "eval_chain"]
+# -- static scan API (reference parity layer) ------------------------------
+# The reference exposes its physical scans publicly:
+# getElementByTag/ById/ByClass/ByAttribute/ByAttributes, each returning a
+# position -> start-tag map (ParseHTML.php:473-812). Same contract here,
+# backed by the node index instead of substring scans.
+
+from .conditions import eval_conditions  # noqa: E402
+from .matcher import class_word_match  # noqa: E402
+from .tokenizer import KNOWN_TAGS  # noqa: E402
+
+
+def _starttag_map(doc: DocIndex, ids) -> dict[int, str]:
+    return {int(doc.start[i]): doc.starttag(i) for i in ids}
+
+
+def get_elements_by_tag(tag: str, html: str) -> dict[int, str]:
+    """Position -> start tag for every <tag> (case-insensitive); no tag
+    whitelist, like the reference's commented-out check [:756-758]."""
+    doc = DocIndex(html)
+    want = tag.strip().lower()
+    return _starttag_map(doc, (i for i in range(doc.n) if doc.tag[i] == want))
+
+
+def get_element_by_id(value: str, html: str) -> dict[int, str]:
+    """First element whose id === value (strict, break) [:657-662]."""
+    doc = DocIndex(html)
+    for i in range(doc.n):
+        if doc.tag[i] in KNOWN_TAGS and doc.attrs(i).get("id") == value:
+            return _starttag_map(doc, [i])
+    return {}
+
+
+def get_elements_by_class(value: str, html: str) -> dict[int, str]:
+    """Class-word AND/OR conditions ('a AND b', 'a OR b') [:711-716]."""
+    doc = DocIndex(html)
+    return _starttag_map(
+        doc,
+        (
+            i
+            for i in range(doc.n)
+            if doc.tag[i] in KNOWN_TAGS
+            and class_word_match(doc.attrs(i), value)
+        ),
+    )
+
+
+def get_elements_by_attribute(attribute: str, html: str) -> dict[int, str]:
+    """Presence scan, case-insensitive name, tag whitelist [:473-536]."""
+    doc = DocIndex(html)
+    want = attribute.lower()
+    return _starttag_map(
+        doc,
+        (
+            i
+            for i in range(doc.n)
+            if doc.tag[i] in KNOWN_TAGS and want in doc.attrs(i)
+        ),
+    )
+
+
+def get_elements_by_attributes(conditions: str, html: str) -> dict[int, str]:
+    """Condition-DSL scan [:594-614]: candidates from parsable fields,
+    filtered by the full OR-of-ANDs evaluation."""
+    from .conditions import parse_fields
+
+    conditions = conditions.strip()
+    if not html or not conditions:
+        return {}
+    doc = DocIndex(html)
+    if not parse_fields(conditions):
+        return {}
+    return _starttag_map(
+        doc,
+        (
+            i
+            for i in range(doc.n)
+            if doc.tag[i] in KNOWN_TAGS
+            and eval_conditions(doc.attrs(i), conditions)
+        ),
+    )
+
+
+__all__ = [
+    "PH",
+    "DocIndex",
+    "compile_selector",
+    "parse_attrs",
+    "eval_chain",
+    "get_elements_by_tag",
+    "get_element_by_id",
+    "get_elements_by_class",
+    "get_elements_by_attribute",
+    "get_elements_by_attributes",
+]
