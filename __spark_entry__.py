@@ -465,7 +465,10 @@ def _q_events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.groupBy(
-            F.date_trunc("hour", "ts").alias("hour"),
+            # string form avoids cross-engine timestamp stringification
+            # differences in the hash compare
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00")
+            .alias("hour"),
             F.col("event_type"),
         )
         .agg(
@@ -676,7 +679,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
         "events_window": (
-            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') "
+            "AS hour, event_type, "
             "count(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
