@@ -288,12 +288,28 @@ def prepare_partitions(df, partitions: int, mega_chars: int = MEGA_DOC_CHARS):
     return small.unionByName(big)
 
 
+def write_bucketed(df, path: str, buckets: int = 8) -> None:
+    """Materialize a span-doc table partitioned by deterministic doc_id
+    hash bucket (directory layout bucket=N/). Resume jobs over this
+    layout get TRUE partition pruning: pending buckets are selected by
+    path, and completed buckets' bytes are never read."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def run_resumable(
     spark,
     input_path: str,
     output_dir: str,
     buckets: int = 8,
     partitions: int = 64,
+    bucketed_input: bool = False,
 ):
     """Checkpoint-resumable extraction with per-bucket lineage + metrics.
 
@@ -301,7 +317,13 @@ def run_resumable(
     cluster sizes and retries). Completed buckets are recorded in
     <output_dir>/_manifest.json and skipped on rerun; per-bucket metrics
     rows go to <output_dir>/_metrics/. Output is idempotent: each bucket
-    writes its own subdirectory with mode=overwrite."""
+    writes its own subdirectory with mode=overwrite.
+
+    bucketed_input=True expects a write_bucketed() layout and reads ONLY
+    the pending bucket's directory (partition pruning -- completed work's
+    input bytes are never scanned, which is what makes resume cheap at
+    100 TB). Default reads a flat table and filters on the hash, which
+    still recomputes nothing but must scan doc_ids."""
     import json
     import os
 
@@ -316,13 +338,20 @@ def run_resumable(
         if manifest.get("buckets") != buckets or manifest.get("input") != input_path:
             raise ValueError("manifest does not match job config")
 
-    df = spark.read.parquet(input_path)
+    df = None
+    if not bucketed_input:
+        df = spark.read.parquet(input_path)
     bucket_col = F.pmod(F.xxhash64("doc_id"), F.lit(buckets))
     metrics_rows = []
     for b in range(buckets):
         if b in manifest["done"]:
             continue
-        part = df.filter(bucket_col == b)
+        if bucketed_input:
+            part = spark.read.parquet(
+                os.path.join(input_path, f"bucket={b}")
+            ).select("doc_id", "spans")
+        else:
+            part = df.filter(bucket_col == b)
         part = prepare_partitions(part, partitions)
         out = extract_spans(part)
         t0 = time.time()

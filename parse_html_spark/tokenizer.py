@@ -172,7 +172,7 @@ class DocIndex:
                 st_ends_append(e_tok)
                 ends_append(e_tok)
                 cends_append(e_tok)
-                attr_append(m.group(4))
+                attr_append(m.span(4))  # lazy: slice html only on demand
                 if lname not in VOID_TAGS:
                     stack = get_stack(lname)
                     if stack is None:
@@ -237,11 +237,12 @@ class DocIndex:
     # -- accessors ---------------------------------------------------------
 
     def attrs(self, i: int, validate: bool = False) -> dict[str, str | None]:
+        a, b = self._attr_src[i]
         if validate:
-            return parse_attrs(self._attr_src[i], validate=True)
+            return parse_attrs(self.html[a:b], validate=True)
         cached = self._attrs[i]
         if cached is None:
-            cached = parse_attrs(self._attr_src[i])
+            cached = parse_attrs(self.html[a:b])
             self._attrs[i] = cached
         return cached
 

@@ -135,6 +135,25 @@ def test_prepare_partitions_runs(spark, corpus):
     assert extract_spans(df).count() == extract_spans(corpus).count()
 
 
+def test_resumable_bucketed_pruning(spark, tmp_path):
+    """Bucketed layout resume equals flat resume output exactly."""
+    from parse_html_spark.pipeline import write_bucketed
+
+    src = str(tmp_path / "flat.parquet")
+    write_corpus_parquet(src, 20)
+    bsrc = str(tmp_path / "bucketed")
+    write_bucketed(spark.read.parquet(src), bsrc, buckets=4)
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    run_resumable(spark, src, out_a, buckets=4, partitions=4)
+    run_resumable(
+        spark, bsrc, out_b, buckets=4, partitions=4, bucketed_input=True
+    )
+    a = {tuple(r) for r in spark.read.parquet(os.path.join(out_a, "bucket=*")).collect()}
+    b = {tuple(r) for r in spark.read.parquet(os.path.join(out_b, "bucket=*")).collect()}
+    assert a == b
+
+
 def test_resumable_kill_and_resume(spark, tmp_path):
     src = str(tmp_path / "in.parquet")
     write_corpus_parquet(src, 30)
