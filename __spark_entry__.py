@@ -459,6 +459,32 @@ def _q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(both, max_hamming=6)
 
 
+def _q_node_counts(spark, sf_dir):
+    """Exploded node table: per-doc tag histogram (relational form)."""
+    from parse_html_spark.pipeline import node_table
+
+    nodes = node_table(_doc_spans(spark, sf_dir))
+    return (
+        nodes.groupBy(F.col("doc_id").cast("bigint").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.when(F.col("tag") == "td", 1).otherwise(0)).alias("n_td"),
+            F.sum(F.when(F.col("tag") == "input", 1).otherwise(0)).alias("n_input"),
+        )
+    )
+
+
+def _q_node_descendants(spark, sf_dir):
+    """Descendant matching as a broadcast range-containment join."""
+    from parse_html_spark.pipeline import descendants_join, node_table
+
+    nodes = node_table(_doc_spans(spark, sf_dir))
+    hits = descendants_join(nodes, "table", "td")
+    return hits.groupBy(F.col("doc_id").cast("bigint").alias("doc_id")).agg(
+        F.count("*").alias("n_td_under_table")
+    )
+
+
 def _q_events_window(spark, sf_dir):
     """Tumbling event-time window aggregation over the events stream
     table (batch form of the streaming rollup)."""
@@ -552,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "node_counts": _q_node_counts,
+        "node_descendants": _q_node_descendants,
         "events_window": _q_events_window,
         "window_eq": _q_window_eq,
         "anti_join": _q_anti_join,
@@ -677,6 +705,13 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
             "), 4) AS cosine FROM embeddings "
             "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "node_counts": (
+            "SELECT doc_id, 21 AS n_nodes, 2 AS n_td, 3 AS n_input "
+            "FROM documents"
+        ),
+        "node_descendants": (
+            "SELECT doc_id, 2 AS n_td_under_table FROM documents"
         ),
         "events_window": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') "

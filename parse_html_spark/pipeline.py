@@ -207,6 +207,74 @@ def extract_forms_df(df):
     return _map_in_pandas(df, run, "doc_id string, form_json string")
 
 
+NODE_SCHEMA = (
+    "doc_id string, node_id int, tag string, start long, `end` long, "
+    "cstart long, cend long, parent int, depth int, "
+    "attrs map<string,string>"
+)
+
+
+def node_table(df):
+    """Exploded relational node table (SURVEY.md 1.2): one row per
+    element across the corpus. Cross-document structural work then stays
+    in native DataFrame ops -- descendant matching is a range-containment
+    join, direct-child an equi-join on parent, and Catalyst/AQE pick the
+    join strategy (broadcast the ancestor side when small)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, row_spans in zip(pdf["doc_id"], pdf["spans"]):
+                html, _ = assemble(_spans_of_row(row_spans))
+                doc = DocIndex(html)
+                for i in range(doc.n):
+                    attrs = {
+                        k: ("" if v is None else v)
+                        for k, v in doc.attrs(i).items()
+                    }
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "node_id": i,
+                            "tag": doc.tag[i],
+                            "start": int(doc.start[i]),
+                            "end": int(doc.end[i]),
+                            "cstart": int(doc.cstart[i]),
+                            "cend": int(doc.cend[i]),
+                            "parent": int(doc.parent[i]),
+                            "depth": int(doc.depth[i]),
+                            "attrs": attrs,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return _map_in_pandas(df, run, NODE_SCHEMA)
+
+
+def descendants_join(nodes, ancestor_tag: str, desc_tag: str, broadcast_ancestors: bool = True):
+    """Descendant matching in pure relational form: range containment
+    join between the ancestor and descendant node sets (SURVEY.md 2.9).
+    The filtered ancestor side is usually tiny -> broadcast it."""
+    from pyspark.sql import functions as F
+
+    anc = nodes.filter(F.col("tag") == ancestor_tag).select(
+        F.col("doc_id").alias("a_doc"),
+        F.col("node_id").alias("anc_id"),
+        F.col("cstart").alias("a_lo"),
+        F.col("cend").alias("a_hi"),
+    )
+    if broadcast_ancestors:
+        anc = F.broadcast(anc)
+    desc = nodes.filter(F.col("tag") == desc_tag)
+    return desc.join(
+        anc,
+        (desc.doc_id == anc.a_doc)
+        & (desc.start >= anc.a_lo)
+        & (desc.start < anc.a_hi),
+    ).select("doc_id", "node_id", "anc_id", "tag", "start")
+
+
 def apply_ph(df, fn, schema: str):
     """Generic per-document API hook: fn(PH) -> dict of column values
     (one output row per doc, doc_id added automatically). This is the
