@@ -42,6 +42,74 @@ def extract_spans_stream(
     return writer.start()
 
 
+def streaming_dedup_first_seen(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Custom STATEFUL streaming operator: exactly-first-seen dedup over
+    an unbounded span-doc stream, keyed by content fingerprint, via
+    applyInPandasWithState. State (one boolean per fingerprint) persists
+    in the checkpoint across micro-batches AND restarts, so a document
+    whose text was ever emitted is never emitted again.
+
+    Output rows: (fp, doc_id) of first-seen documents."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .session import ensure_py_files
+
+    ensure_py_files(spark)
+    sdf = spark.readStream.schema(SPAN_INPUT_SCHEMA).parquet(input_dir)
+    docs = sdf.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                "\x00",
+                F.transform(
+                    F.array_sort(
+                        F.col("spans"),
+                        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+                        .when(a["offset"] > b["offset"], 1)
+                        .otherwise(0),
+                    ),
+                    lambda s: F.coalesce(s["text"], F.lit("")),
+                ),
+            )
+        ).alias("fp"),
+    )
+
+    def first_seen(key, pdf_iter, state):
+        if state.exists:
+            return iter(())
+        first_doc = None
+        for pdf in pdf_iter:
+            if len(pdf) and first_doc is None:
+                first_doc = min(pdf["doc_id"])
+        if first_doc is None:
+            return iter(())
+        state.update((True,))
+        return iter([pd.DataFrame({"fp": [key[0]], "doc_id": [first_doc]})])
+
+    out = docs.groupBy("fp").applyInPandasWithState(
+        first_seen,
+        outputStructType="fp string, doc_id string",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def for_each_batch_extract(spark, input_dir: str, handle_batch, checkpoint_dir: str):
     """foreachBatch variant: handle_batch(batch_df, epoch_id) receives the
     extracted span DataFrame per micro-batch (for sinks without a native

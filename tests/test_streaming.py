@@ -4,7 +4,34 @@ import os
 
 from parse_html_spark.fixtures import write_corpus_parquet
 from parse_html_spark.pipeline import extract_spans
-from parse_html_spark.streaming import extract_spans_stream
+from parse_html_spark.streaming import (
+    extract_spans_stream,
+    streaming_dedup_first_seen,
+)
+
+
+def test_stateful_streaming_dedup(spark, tmp_path):
+    """State survives across micro-batches AND restarts: a fingerprint
+    emitted once is never emitted again."""
+    in_dir = str(tmp_path / "sin")
+    out_dir = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sck")
+    os.makedirs(in_dir)
+    # batch 1: docs 0..9
+    write_corpus_parquet(os.path.join(in_dir, "p1.parquet"), 10)
+    q = streaming_dedup_first_seen(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 10  # all distinct texts
+    # batch 2 (restart): docs 0..9 AGAIN (same content, new file) plus
+    # 5 genuinely new docs
+    write_corpus_parquet(os.path.join(in_dir, "p2.parquet"), 10)  # dupes
+    write_corpus_parquet(os.path.join(in_dir, "p3.parquet"), 5, start=200)
+    q2 = streaming_dedup_first_seen(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(180)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 15  # 10 first-seen + 5 new; dupes suppressed
+    assert out.select("fp").distinct().count() == 15
 
 
 def test_stream_matches_batch_and_resumes(spark, tmp_path):
