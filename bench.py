@@ -48,6 +48,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from parse_html_spark.pipeline import (
         extract_spans,
+        extract_spans_compact,
         prepare_partitions,
         select_spans,
     )
@@ -78,6 +79,12 @@ def main() -> None:
 
     timed(
         "extract_main",
+        lambda: extract_spans_compact(
+            prepare_partitions(corpus, CPUS * 4)
+        ).count(),
+    )
+    timed(
+        "extract_exploded",
         lambda: extract_spans(prepare_partitions(corpus, CPUS * 4)).count(),
     )
     timed(

@@ -117,10 +117,12 @@ def prepare_training_corpus(
     min_quality: float = 0.25,
 ) -> dict:
     """Full composed run; returns stage counts for the metrics table."""
+    from .pipeline import extract_docs
+
     raw = spark.read.parquet(input_path)
     n_in = raw.count()
-    spans = extract_spans(prepare_partitions(raw, partitions))
-    docs = reassemble_docs(spans)
+    # fused extract+reassemble: one map pass, no span-row shuffle
+    docs = extract_docs(prepare_partitions(raw, partitions))
     kept = quality_filter(docs, min_quality)
     from .functions.dedup import dedup_exact
 

@@ -121,6 +121,59 @@ def test_media_interleave_golden(spark):
     ]
 
 
+def test_nested_equals_exploded(spark, corpus):
+    from parse_html_spark.pipeline import extract_spans_nested
+
+    import pyspark.sql.functions as F
+
+    nested = extract_spans_nested(corpus)
+    exploded_back = nested.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.order").alias("order"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    flat = extract_spans(corpus)
+    a = {tuple(r) for r in exploded_back.collect()}
+    b = {tuple(r) for r in flat.collect()}
+    assert a == b
+
+
+def test_compact_equals_exploded(spark, corpus):
+    from parse_html_spark.pipeline import (
+        explode_compact,
+        extract_spans_compact,
+    )
+
+    a = {
+        tuple(r)
+        for r in explode_compact(extract_spans_compact(corpus)).collect()
+    }
+    b = {tuple(r) for r in extract_spans(corpus).collect()}
+    assert a == b
+
+
+def test_extract_docs_equals_reassembled(spark, corpus):
+    from parse_html_spark.pipeline import extract_docs
+    from parse_html_spark.training import reassemble_docs
+
+    fused = extract_docs(corpus).toPandas().set_index("doc_id")
+    two_pass = (
+        reassemble_docs(extract_spans(corpus)).toPandas().set_index("doc_id")
+    )
+    # docs with zero output spans appear only in the fused form
+    common = two_pass.index
+    assert len(common) == N_DOCS
+    for d in common:
+        assert fused.loc[d, "text"] == two_pass.loc[d, "text"]
+        assert list(fused.loc[d, "media_refs"]) == list(
+            two_pass.loc[d, "media_refs"]
+        )
+
+
 def test_partition_metrics(spark, corpus):
     from parse_html_spark.pipeline import partition_metrics
 
