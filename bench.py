@@ -71,14 +71,22 @@ def main() -> None:
         times[name] = round(best, 3)
         log(f"{name}: {times[name]}s ({n} rows)")
 
+    # size parquet scan splits so the Python map stage gets ~4 splits
+    # per core WITHOUT a shuffle: byte-based splitting is inherently
+    # size-aware (a mega-doc occupies its own byte range), so the scan
+    # itself balances skew for well-laid-out input
+    n_bytes = os.path.getsize(corpus_path)
+    split = min(max(n_bytes // (CPUS * 4), 2 << 20), 64 << 20)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     corpus = spark.read.parquet(corpus_path)
 
     # warm the JVM/Python workers once (not timed)
     corpus.limit(64).count()
     extract_spans(corpus.limit(64)).count()
 
+    timed("extract_main", lambda: extract_spans_compact(corpus).count())
     timed(
-        "extract_main",
+        "extract_skew_routed",
         lambda: extract_spans_compact(
             prepare_partitions(corpus, CPUS * 4)
         ).count(),
