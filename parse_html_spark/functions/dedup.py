@@ -44,7 +44,24 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # -- MinHash + LSH ---------------------------------------------------------
 
+_MH_PRIME = (1 << 31) - 1  # Mersenne: a*h < 2^62 stays in int64
+
+
+def _mh_coeffs(num_hashes: int):
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, _MH_PRIME, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MH_PRIME, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
 def _minhash_sig(text: str, num_hashes: int, shingle_words: int) -> list[int]:
+    """MinHash signature: crc32 per shingle ONCE, then the num_hashes
+    universal-hash permutations ((a*h+b) mod p) as one numpy outer
+    product -- no per-seed Python loop."""
+    import numpy as np
+
     toks = text.lower().split()
     if len(toks) < shingle_words:
         shingles = {" ".join(toks)} if toks else {""}
@@ -53,15 +70,15 @@ def _minhash_sig(text: str, num_hashes: int, shingle_words: int) -> list[int]:
             " ".join(toks[i : i + shingle_words])
             for i in range(len(toks) - shingle_words + 1)
         }
-    sig = []
-    for seed in range(num_hashes):
-        best = 0xFFFFFFFF
-        for sh in shingles:
-            h = zlib.crc32(f"{seed}:{sh}".encode("utf-8")) & 0xFFFFFFFF
-            if h < best:
-                best = h
-        sig.append(best)
-    return sig
+    h = np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) for s in shingles),
+        dtype=np.int64,
+        count=len(shingles),
+    )
+    a, b = _mh_coeffs(num_hashes)
+    hm = h % _MH_PRIME
+    perm = (a[:, None] * hm[None, :] + b[:, None]) % _MH_PRIME
+    return perm.min(axis=1).tolist()
 
 
 def minhash_signatures(

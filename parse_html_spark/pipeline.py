@@ -442,11 +442,22 @@ def doc_size_col():
     )
 
 
-def prepare_partitions(df, partitions: int, mega_chars: int = MEGA_DOC_CHARS):
-    """Skew defusal: hash-distribute normal docs; give EACH mega-doc its
-    own partition (round-robin over the exact mega count) so the longest
-    task is one biggest document, not a packet of them. AQE cannot
-    rebalance a Python map stage by value skew (SURVEY.md section 4.3).
+def prepare_partitions(
+    df,
+    partitions: int,
+    mega_chars: int = MEGA_DOC_CHARS,
+    shuffle_small: bool = False,
+):
+    """Skew defusal: give EACH mega-doc its own partition (round-robin
+    over the exact mega count) so the longest task is one biggest
+    document, not a packet of them. AQE cannot rebalance a Python map
+    stage by value skew (SURVEY.md section 4.3).
+
+    Normal docs are NOT shuffled by default: byte-sized parquet scan
+    splits already spread them evenly, and shuffling the full corpus
+    through the exchange costs more than it saves (measured). Pass
+    shuffle_small=True to force hash placement (needed when the input
+    layout is pathological, e.g. one giant unsplittable file).
 
     At production scale the document size belongs in the table as an
     ingest-time column (making the size split a pushed-down predicate and
@@ -455,11 +466,9 @@ def prepare_partitions(df, partitions: int, mega_chars: int = MEGA_DOC_CHARS):
     from pyspark.sql import functions as F
 
     sized = df.withColumn("_n_chars", doc_size_col())
-    small = (
-        sized.filter(F.col("_n_chars") <= mega_chars)
-        .repartition(partitions, F.col("doc_id"))
-        .drop("_n_chars")
-    )
+    small = sized.filter(F.col("_n_chars") <= mega_chars).drop("_n_chars")
+    if shuffle_small:
+        small = small.repartition(partitions, F.col("doc_id"))
     big_rows = sized.filter(F.col("_n_chars") > mega_chars).drop("_n_chars")
     n_big = big_rows.count()
     if n_big == 0:
