@@ -34,6 +34,15 @@ from .selector import Compound
 from .tokenizer import KNOWN_TAGS, DocIndex
 
 _WS_SPLIT = re.compile(r"\s")
+_PRESENCE_CACHE: dict[str, "re.Pattern"] = {}
+
+
+def _presence_pat(name: str) -> "re.Pattern":
+    pat = _PRESENCE_CACHE.get(name)
+    if pat is None:
+        pat = re.compile(r"\s" + re.escape(name), re.IGNORECASE)
+        _PRESENCE_CACHE[name] = pat
+    return pat
 
 # R-quirk (reference getElementByAttribute -> validateStartTag
 # [:504, :1481-1488]): attribute-dispatched scans only accept elements
@@ -68,7 +77,13 @@ def _atoms_match(doc: DocIndex, comp: Compound, i: int) -> bool:
             value = atom.value.replace(" ", " AND ")
             return class_word_match(doc.attrs(i), value)
         if atom.is_presence:
-            return atom.name.lower() in doc.attrs(i)
+            # R-quirk 11: bare presence is the reference's TEXTUAL scan --
+            # whitespace + name substring anywhere inside the start tag
+            # (case-insensitive), so ' title' inside an attribute VALUE
+            # also matches [:488-493]. Well-formed attributes always
+            # satisfy this; the quirk only widens pathological cases.
+            pat = _presence_pat(atom.name)
+            return pat.search(doc.starttag(i)) is not None
         # note: lone id handled by the caller (first-match semantics)
     conditions = build_conditions(atoms)
     if not parse_fields(conditions):

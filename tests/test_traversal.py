@@ -56,6 +56,17 @@ def test_attribute_dispatch_tag_whitelist():
     assert len(PH(doc).find("custom")) == 1
 
 
+def test_presence_is_textual_scan_quirk11():
+    # R-quirk 11 (ParseHTML.php:488-493): bare [attr] presence is a
+    # whitespace+name TEXTUAL scan over the start tag, so the name
+    # inside an attribute VALUE also matches
+    doc = '<img alt="my title here"><p data-x="1">t</p>'
+    assert len(PH(doc).find("[title]")) == 1
+    assert PH(doc).find("[title]").attr("alt") == "my title here"
+    # but valued operators go through the attribute map: no title attr
+    assert len(PH(doc).find("[title*=my]")) == 0
+
+
 def test_whitelist_with_dsl_conditions():
     doc = '<blink data-n="5">old</blink><em data-n="5">em</em>'
     assert PH(doc).find("[data-n>1]").text() == "em"
