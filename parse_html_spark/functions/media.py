@@ -34,6 +34,78 @@ def attach_payload(df, ref_col: str = "media_ref"):
     )
 
 
+RESIZE_SCHEMA = "media_ref string, width int, height int, payload binary"
+FRAME_SCHEMA = "media_ref string, frame_idx int, ts_ms int, payload binary"
+
+
+def resize_images(df, width: int, height: int, fake: bool = True):
+    """mapInPandas resize over (media_ref, payload). Decode/encode is
+    STUBBED (no PIL here): fake=True emits a deterministic payload
+    derived from the input bytes + target size; fake=False raises at
+    the decoder plug point. Batch shape and schema are the real ones."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            refs, ws, hs, outs = [], [], [], []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "image resize requires PIL; not available here"
+                    )
+                data = bytes(payload) if payload is not None else b""
+                crc = zlib.crc32(data) & 0xFFFFFFFF
+                refs.append(ref)
+                ws.append(width)
+                hs.append(height)
+                outs.append(
+                    f"resized:{width}x{height}:{crc:08x}".encode("ascii")
+                )
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "payload": outs,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(df, every_ms: int = 1000, duration_ms: int = 5000, fake: bool = True):
+    """Frame sampling for video payloads: one output row per sampled
+    frame (fan-out inside mapInPandas). Decode is stubbed; the frame
+    schedule and row explosion are real."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            refs, idxs, tss, outs = [], [], [], []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "video decode requires ffmpeg; not available here"
+                    )
+                data = bytes(payload) if payload is not None else b""
+                crc = zlib.crc32(data) & 0xFFFFFFFF
+                for k, ts in enumerate(range(0, duration_ms, every_ms)):
+                    refs.append(ref)
+                    idxs.append(k)
+                    tss.append(ts)
+                    outs.append(f"frame:{k}:{crc:08x}".encode("ascii"))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "ts_ms": pd.array(tss, dtype="int32"),
+                    "payload": outs,
+                }
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_media_features(df, fake: bool = True, dim: int = 8):
     """mapInPandas over (media_ref, payload:binary) -> FEATURE_SCHEMA.
 

@@ -144,6 +144,24 @@ def test_media_feature_stub(spark):
     assert {r["checksum"] for r in feats} == {r["checksum"] for r in again}
 
 
+def test_media_resize_and_frames(spark):
+    from parse_html_spark.functions.media import (
+        attach_payload,
+        resize_images,
+        sample_frames,
+    )
+
+    df = attach_payload(
+        spark.createDataFrame([("media://v-1",), ("media://v-2",)], "media_ref string")
+    )
+    rs = resize_images(df, 64, 64).collect()
+    assert len(rs) == 2
+    assert all(r["width"] == 64 and bytes(r["payload"]).startswith(b"resized:") for r in rs)
+    fr = sample_frames(df, every_ms=500, duration_ms=2000).toPandas()
+    assert len(fr) == 2 * 4  # fan-out: 4 frames per video
+    assert sorted(fr["ts_ms"].unique()) == [0, 500, 1000, 1500]
+
+
 def test_media_stub_raises_without_fake(spark):
     from parse_html_spark.functions.media import (
         attach_payload,
