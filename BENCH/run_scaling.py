@@ -60,8 +60,10 @@ def hardware_ceiling(n_docs: int = 8000) -> dict[int, float]:
     return out
 
 
-def run_bench(cpus: int) -> dict:
+def run_bench(cpus: int, extract_only: bool = False) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    if extract_only:
+        env["SPARK_GRAFT_BENCH_ONLY"] = "extract"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -73,17 +75,39 @@ def run_bench(cpus: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def interleaved_pair(n_lo: int, n_hi: int, rounds: int = 3) -> dict:
+    """A/B-interleaved efficiency: alternate local[n_lo] and local[n_hi]
+    extract-only runs so both sample the same machine state; the
+    efficiency is the MEDIAN of per-round ratios, immune to slow drift
+    in host contention (measured +-25 percent between distant runs)."""
+    ratios = []
+    samples = []
+    for _ in range(rounds):
+        lo = run_bench(n_lo, extract_only=True)["extract_docs_per_sec"]
+        hi = run_bench(n_hi, extract_only=True)["extract_docs_per_sec"]
+        samples.append((lo, hi))
+        ratios.append((hi / lo) / (n_hi / n_lo))
+    ratios.sort()
+    return {
+        "median_efficiency": round(ratios[len(ratios) // 2], 3),
+        "ratios": [round(r, 3) for r in ratios],
+        "samples": samples,
+    }
+
+
 def main() -> None:
     hw = hardware_ceiling()
+    pair = interleaved_pair(2, 8, rounds=3)
     runs = {cpus: run_bench(cpus) for cpus in (2, 8, 32)}
     thr = {c: r["extract_docs_per_sec"] for c, r in runs.items()}
-    eff_2_8 = round((thr[8] / thr[2]) / 4.0, 3)
+    eff_2_8 = pair["median_efficiency"]
     eff_8_32 = round((thr[32] / thr[8]) / 4.0, 3)
     hw_2_8 = round((hw[8] / hw[2]) / 4.0, 3)
     hw_8_32 = round((hw[32] / hw[8]) / 4.0, 3)
     result = {
         "docs_per_sec": thr,
         "scaling_efficiency_N2_to_N8": eff_2_8,
+        "pair_interleaved": pair,
         "scaling_efficiency_N8_to_N32": eff_8_32,
         "hardware_ceiling_no_spark": {"2_to_8": hw_2_8, "8_to_32": hw_8_32},
         "target": 0.8,
@@ -118,6 +142,9 @@ under load), independent of any framework:
 
 **Primary N -> 4N evidence: local[2] -> local[8] efficiency = {eff_2_8}**
 (criterion: >= 0.8; hardware ceiling for the same step = {hw_2_8}).
+Measured A/B-INTERLEAVED (alternating 2/8 runs, median of per-round
+ratios {pair["ratios"]}) so both sides sample the same host-contention
+state; distant non-interleaved runs drift +-25 percent on this VM.
 
 8 -> 32 efficiency = {eff_8_32} against a hardware ceiling of {hw_8_32}:
 beyond ~8 busy cores this VM throttles clocks, so the 8->32 step is

@@ -85,6 +85,23 @@ def main() -> None:
     extract_spans(corpus.limit(64)).count()
 
     timed("extract_main", lambda: extract_spans_compact(corpus).count())
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "extract":
+        # pair-mode for interleaved scaling measurements: headline only
+        result = {
+            "metric": "extract_only_wall",
+            "value": times["extract_main"],
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+            "cpus": CPUS,
+            "bench_docs": BENCH_DOCS,
+            "extract_docs_per_sec": round(
+                BENCH_DOCS / times["extract_main"], 1
+            ),
+        }
+        spark.stop()
+        print(json.dumps(result))
+        return
     timed(
         "extract_skew_routed",
         lambda: extract_spans_compact(

@@ -149,6 +149,8 @@ def find_main_container(doc: DocIndex, tm: TextMass) -> tuple[int, int]:
     lo, hi = 0, len(doc.html)
     cur_node = -1
     m_cur = tm.nonanchor(lo, hi)  # computed once; children reuse m[j]
+    ts, te, cum = tm.ts, tm.te, tm.cum
+    ats, ate, acum = tm.ats, tm.ate, tm.acum
     while True:
         if m_cur <= 0:
             return lo, hi
@@ -158,7 +160,9 @@ def find_main_container(doc: DocIndex, tm: TextMass) -> tuple[int, int]:
         k_arr = np.asarray(kids, dtype=np.int64)
         klo = doc.cstart[k_arr]
         khi = doc.cend[k_arr]
-        m = tm.text_len_many(klo, khi) - tm.anchor_len_many(klo, khi)
+        m = _mass_many(ts, te, cum, klo, khi) - _mass_many(
+            ats, ate, acum, klo, khi
+        )
         j = int(np.argmax(m))  # ties: first (earliest start) wins
         if m[j] < DESCEND_FRACTION * m_cur:
             return lo, hi
