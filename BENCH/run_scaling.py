@@ -146,10 +146,10 @@ Measured A/B-INTERLEAVED (alternating 2/8 runs, median of per-round
 ratios {pair["ratios"]}) so both sides sample the same host-contention
 state; distant non-interleaved runs drift +-25 percent on this VM.
 
-8 -> 32 efficiency = {eff_8_32} against a hardware ceiling of {hw_8_32}:
-beyond ~8 busy cores this VM throttles clocks, so the 8->32 step is
-machine-bound, not framework-bound -- the no-Spark control shows the
-same collapse. Framework efficiency relative to hardware:
+8 -> 32 efficiency = {eff_8_32} against a no-Spark hardware control of
+{hw_8_32} for the same step (this VM throttles clocks under load, and
+the control bounds what ANY framework could achieve in that machine
+state). Framework efficiency relative to hardware:
 2->8: {round(min(1.0, eff_2_8 / hw_2_8), 3)}, 8->32: {round(min(1.0, eff_8_32 / max(hw_8_32, 1e-9)), 3)}.
 
 Full per-query seconds:
