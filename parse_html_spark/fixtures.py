@@ -184,13 +184,8 @@ def gen_docs(n: int, seed: int = 42, start: int = 0):
         yield gen_doc(i, seed)
 
 
-def write_corpus_parquet(
-    path: str, n: int, seed: int = 42, rows_per_group: int = 512, start: int = 0
-) -> None:
-    """Write the span-doc corpus with pyarrow (no Spark needed); multiple
-    row groups so Spark can split the scan."""
+def _arrow_schema():
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     span_type = pa.list_(
         pa.struct(
@@ -202,28 +197,58 @@ def write_corpus_parquet(
             ]
         )
     )
-    schema = pa.schema([("doc_id", pa.string()), ("spans", span_type)])
-    writer = pq.ParquetWriter(path, schema)
-    batch_ids: list[str] = []
-    batch_spans: list[list] = []
+    return pa.schema([("doc_id", pa.string()), ("spans", span_type)])
+
+
+def _gen_chunk(args):
+    start, n, seed = args
+    ids, spans = [], []
     for i in range(start, start + n):
         d = gen_doc(i, seed)
-        batch_ids.append(d["doc_id"])
-        batch_spans.append(
+        ids.append(d["doc_id"])
+        spans.append(
             [
                 (s["kind"], s["text"], s["media_ref"], s["offset"])
                 for s in d["spans"]
             ]
         )
-        if len(batch_ids) >= rows_per_group:
-            writer.write_table(
-                pa.table(
-                    {"doc_id": batch_ids, "spans": batch_spans}, schema=schema
+    return ids, spans
+
+
+def write_corpus_parquet(
+    path: str,
+    n: int,
+    seed: int = 42,
+    rows_per_group: int = 512,
+    start: int = 0,
+    procs: int | None = None,
+) -> None:
+    """Write the span-doc corpus with pyarrow (no Spark needed); multiple
+    row groups so Spark can split the scan. Generation is per-doc
+    seeded, so chunks are produced in parallel and written in order."""
+    import multiprocessing as mp
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = _arrow_schema()
+    writer = pq.ParquetWriter(path, schema)
+    if procs is None:
+        procs = min(16, mp.cpu_count()) if n >= 4096 else 1
+    chunks = [
+        (start + k, min(rows_per_group, start + n - k), seed)
+        for k in range(start, start + n, rows_per_group)
+    ]
+    if procs > 1:
+        with mp.Pool(procs) as pool:
+            for ids, spans in pool.imap(_gen_chunk, chunks, chunksize=4):
+                writer.write_table(
+                    pa.table({"doc_id": ids, "spans": spans}, schema=schema)
                 )
+    else:
+        for ch in chunks:
+            ids, spans = _gen_chunk(ch)
+            writer.write_table(
+                pa.table({"doc_id": ids, "spans": spans}, schema=schema)
             )
-            batch_ids, batch_spans = [], []
-    if batch_ids:
-        writer.write_table(
-            pa.table({"doc_id": batch_ids, "spans": batch_spans}, schema=schema)
-        )
     writer.close()
