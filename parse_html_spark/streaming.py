@@ -110,6 +110,48 @@ def streaming_dedup_first_seen(
     )
 
 
+def streaming_event_rollup(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    late: str = "30 minutes",
+):
+    """Event-time windowed aggregation with a WATERMARK for late data:
+    tumbling-window counts/sums per event_type over a file stream of the
+    events table. Append mode emits a window only once its watermark
+    (max event time - late) has passed -- the batch twin is the
+    events_window oracle query."""
+    from pyspark.sql import functions as F
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    ev = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        ev.withWatermark("ts", late)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def for_each_batch_extract(spark, input_dir: str, handle_batch, checkpoint_dir: str):
     """foreachBatch variant: handle_batch(batch_df, epoch_id) receives the
     extracted span DataFrame per micro-batch (for sinks without a native

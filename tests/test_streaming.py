@@ -34,6 +34,32 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     assert out.select("fp").distinct().count() == 15
 
 
+def test_watermarked_event_rollup(spark, tmp_path):
+    import shutil
+
+    from parse_html_spark.streaming import streaming_event_rollup
+
+    in_dir = str(tmp_path / "ev")
+    os.makedirs(in_dir)
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet",
+        os.path.join(in_dir, "events.parquet"),
+    )
+    out_dir = str(tmp_path / "evout")
+    ckpt = str(tmp_path / "evck")
+    q = streaming_event_rollup(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+    out = spark.read.parquet(out_dir)
+    assert out.count() > 0
+    assert set(out.columns) == {
+        "window_start", "window_end", "event_type", "n_events", "sum_value",
+    }
+    # windows are closed (watermark passed) and well-formed
+    row = out.first()
+    assert row["window_end"] > row["window_start"]
+    assert row["n_events"] > 0
+
+
 def test_stream_matches_batch_and_resumes(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
