@@ -270,6 +270,54 @@ def select_spans(df, selector: str, mode: str = "text", attr_name: str | None = 
     return _map_in_pandas(df, run, MATCH_SCHEMA)
 
 
+def select_spans_multi(df, selectors: dict[str, str], mode: str = "text"):
+    """Run MANY selectors in one pass: the document is tokenized once
+    and every compiled plan is evaluated against the same node index --
+    amortizing the tokenizer across queries is the right shape when a
+    production job extracts dozens of fields per page.
+
+    Output: (doc_id, query, match_order, value)."""
+    import pandas as pd
+
+    plans = {
+        name: compile_selector(sel) for name, sel in selectors.items()
+    }
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out_doc, out_q, out_ord, out_val = [], [], [], []
+            for doc_id, row_spans in zip(pdf["doc_id"], pdf["spans"]):
+                html, _ = assemble(_spans_of_row(row_spans))
+                doc = DocIndex(html)
+                scopes = [(0, len(html))]
+                for name, plan in plans.items():
+                    if plan is None:
+                        continue
+                    for k, n in enumerate(find_nodes(doc, plan, scopes)):
+                        if mode == "text":
+                            val = doc.text_between(
+                                int(doc.start[n]), int(doc.end[n])
+                            )
+                        else:
+                            val = doc.outer(n)
+                        out_doc.append(doc_id)
+                        out_q.append(name)
+                        out_ord.append(k)
+                        out_val.append(val)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "query": out_q,
+                    "match_order": pd.array(out_ord, dtype="int32"),
+                    "value": pd.array(out_val, dtype=object),
+                }
+            )
+
+    return _map_in_pandas(
+        df, run, "doc_id string, query string, match_order int, value string"
+    )
+
+
 def extract_tables_df(df, selector: str = "table"):
     """extractTable over every doc -> (doc_id, table_order, cells_json)."""
     import json

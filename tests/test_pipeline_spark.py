@@ -84,6 +84,22 @@ def test_select_spans_matches_ph(spark, corpus):
             assert list(got["value"]) == vals, (selector, i)
 
 
+def test_select_spans_multi_matches_single(spark, corpus):
+    from parse_html_spark.pipeline import select_spans_multi
+
+    sels = {"paras": "article p.intro", "cells": "table td", "bad": "div,"}
+    multi = select_spans_multi(corpus, sels).toPandas()
+    assert set(multi["query"].unique()) <= {"paras", "cells"}
+    for name in ("paras", "cells"):
+        single = select_spans(corpus, sels[name], mode="text").toPandas()
+        got = multi[multi["query"] == name][
+            ["doc_id", "match_order", "value"]
+        ]
+        a = {tuple(r) for r in got.itertuples(index=False)}
+        b = {tuple(r) for r in single.itertuples(index=False)}
+        assert a == b, name
+
+
 def test_tables_and_forms(spark, corpus):
     tdf = extract_tables_df(corpus).toPandas()
     assert len(tdf) > 0
