@@ -107,6 +107,24 @@ def test_parse_fields():
     assert parse_fields("title") == []
 
 
+def test_atom_regex_greediness_quirks():
+    """Pinned parser quirks shared with the reference's single regex
+    [:2085-2091]: greedy field capture + first-alternation-wins ops."""
+    from parse_html_spark.conditions import ATOM_RE
+
+    # 'is not x' parses as op 'is' with VALUE 'not x' ('is' precedes
+    # 'is not' in the alternation and the regex engine takes it)
+    assert ATOM_RE.match("title is not x").groups() == ("title", "is", "not x")
+    assert eval_atom({"title": "not x"}, "title is not x")
+    assert not eval_atom({"title": "y"}, "title is not x")
+    # chained '=' is split greedily: field 'a = b', value 'c'
+    assert ATOM_RE.match("a = b = c").groups() == ("a = b", "=", "c")
+    # multi-word alias ops survive the greedy field
+    assert ATOM_RE.match("class contains all word a b").groups() == (
+        "class", "contains all word", "a b",
+    )
+
+
 def test_loose_cmp_pin():
     assert loose_cmp("10", "9") > 0  # numeric, not lexicographic
     assert loose_cmp("abc", "abd") < 0
