@@ -482,6 +482,55 @@ def extract_post_forms_df(df, trigger: str):
 MEGA_DOC_CHARS = 500_000
 
 
+PAGE_SCHEMA = (
+    "doc_id string, is_media array<boolean>, texts array<string>, "
+    "media_refs array<string>, tables_json string, form_json string, "
+    "title string, n_nodes int"
+)
+
+
+def extract_page(df):
+    """One-pass full-page extraction: the document is tokenized ONCE and
+    every extractor runs over the same node index -- main-content spans
+    (compact shape), all tables (valueOnly JSON), form fields, title,
+    node count. This is the production job shape: at 100 TB you never
+    pay the tokenizer twice for the same page."""
+    import json
+
+    import pandas as pd
+
+    from .extract import extract_form, extract_table_list, to_plain
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, row_spans in zip(pdf["doc_id"], pdf["spans"]):
+                html, media = assemble(_spans_of_row(row_spans))
+                doc = DocIndex(html)
+                spans = main_content_spans(doc, media)
+                ph = PH(html, doc=doc)
+                title_sel = ph.find("title")
+                tables = extract_table_list(ph.find("table"), val_only=True)
+                form = to_plain(extract_form(ph))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "is_media": [k == "media" for k, _t, _r in spans],
+                        "texts": [t for _k, t, _r in spans],
+                        "media_refs": [r for _k, _t, r in spans],
+                        "tables_json": json.dumps(
+                            [to_plain(t) for t in tables], ensure_ascii=False
+                        ),
+                        "form_json": json.dumps(form, ensure_ascii=False),
+                        "title": title_sel.text(),
+                        "n_nodes": doc.n,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _map_in_pandas(df, run, PAGE_SCHEMA)
+
+
 def doc_size_col():
     from pyspark.sql import functions as F
 

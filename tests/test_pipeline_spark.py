@@ -112,6 +112,32 @@ def test_tables_and_forms(spark, corpus):
     assert any("go" in f for f in forms if f)
 
 
+def test_extract_page_one_pass(spark, corpus):
+    import json
+
+    from parse_html_spark.pipeline import extract_page
+
+    out = extract_page(corpus).toPandas()
+    assert len(out) == N_DOCS
+    assert (out["n_nodes"] > 0).all()
+    assert (out["title"].str.len() > 0).all()
+    # spans agree with the dedicated pipeline
+    flat = extract_spans(corpus).toPandas()
+    for d in [out.iloc[0], out.iloc[7]]:
+        got = list(d["texts"])
+        exp = list(
+            flat[flat["doc_id"] == d["doc_id"]].sort_values("order")["text"]
+        )
+        assert got == exp
+    # tables/forms agree with the dedicated pipelines
+    tdf = extract_tables_df(corpus).toPandas()
+    for _i, d in out.iterrows():
+        tables = json.loads(d["tables_json"])
+        n_ded = len(tdf[tdf["doc_id"] == d["doc_id"]])
+        assert len(tables) == n_ded
+        json.loads(d["form_json"])
+
+
 def test_media_interleave_golden(spark):
     rows = [
         (
