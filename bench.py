@@ -102,6 +102,9 @@ def main() -> None:
         spark.stop()
         print(json.dumps(result))
         return
+    from parse_html_spark.pipeline import extract_page
+
+    timed("extract_page_full", lambda: extract_page(corpus).count())
     timed(
         "extract_skew_routed",
         lambda: extract_spans_compact(
