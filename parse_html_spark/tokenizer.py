@@ -163,9 +163,9 @@ class DocIndex:
         for m in TOKEN_RE.finditer(html):
             s_tok, e_tok = m.span()
             spans_append((s_tok, e_tok))
-            name = m.group(3)
-            if name is not None:
-                lname = name.lower()
+            last = m.lastindex  # 4=open(attrs), 2=close(cname), 5=special
+            if last == 4:
+                lname = m.group(3).lower()
                 idx = len(tags)
                 tags_append(lname)
                 starts_append(s_tok)
@@ -179,7 +179,7 @@ class DocIndex:
                         open_stacks[lname] = [idx]
                     else:
                         stack.append(idx)
-            elif m.group(1) is not None:
+            elif last == 2:
                 stack = get_stack(m.group(2).lower())
                 if stack:
                     idx = stack.pop()
