@@ -67,6 +67,23 @@ def _mass_many(starts, ends, cum, lo, hi):
     return np.maximum(out, 0)
 
 
+def _mass_one(ts_l, te_l, cum_l, lo: int, hi: int) -> int:
+    """Scalar interval mass via C bisect over Python lists -- numpy call
+    overhead dwarfs the work for the tiny queries in container descent."""
+    if hi <= lo or not ts_l:
+        return 0
+    a = bisect.bisect_right(te_l, lo)
+    b = bisect.bisect_left(ts_l, hi)
+    if a >= b:
+        return 0
+    total = cum_l[b] - cum_l[a]
+    if lo > ts_l[a]:
+        total -= lo - ts_l[a]
+    if te_l[b - 1] > hi:
+        total -= te_l[b - 1] - hi
+    return total if total > 0 else 0
+
+
 class TextMass:
     """Batched prefix-sum index over text regions + top-level anchors."""
 
@@ -75,6 +92,10 @@ class TextMass:
         self.ts = doc.tstart
         self.te = doc.tend
         self.cum = np.concatenate(([0], np.cumsum(self.te - self.ts)))
+        # list twins for the scalar bisect paths
+        self.ts_l = doc.tstart.tolist()
+        self.te_l = doc.tend.tolist()
+        self.cum_l = self.cum.tolist()
 
         # top-level <a> nodes: in doc order, an <a> is top-level iff it
         # starts at/after the end of the previous top-level <a> (nested
@@ -115,6 +136,9 @@ class TextMass:
             self.ats = _EMPTY
             self.ate = _EMPTY
         self.acum = np.concatenate(([0], np.cumsum(self.ate - self.ats)))
+        self.ats_l = self.ats.tolist()
+        self.ate_l = self.ate.tolist()
+        self.acum_l = self.acum.tolist()
 
     # vectorized forms ------------------------------------------------------
 
@@ -132,13 +156,15 @@ class TextMass:
     # scalar conveniences ---------------------------------------------------
 
     def text_len(self, lo: int, hi: int) -> int:
-        return int(self.text_len_many([lo], [hi])[0])
+        return _mass_one(self.ts_l, self.te_l, self.cum_l, lo, hi)
 
     def anchor_len(self, lo: int, hi: int) -> int:
-        return int(self.anchor_len_many([lo], [hi])[0])
+        return _mass_one(self.ats_l, self.ate_l, self.acum_l, lo, hi)
 
     def anchors_in(self, lo: int, hi: int) -> int:
-        return int(self.anchors_in_many(np.asarray([lo]), np.asarray([hi]))[0])
+        a = int(np.searchsorted(self.anchor_starts, lo, side="left"))
+        b = int(np.searchsorted(self.anchor_starts, hi, side="left"))
+        return b - a
 
     def nonanchor(self, lo: int, hi: int) -> int:
         return self.text_len(lo, hi) - self.anchor_len(lo, hi)
@@ -149,26 +175,32 @@ def find_main_container(doc: DocIndex, tm: TextMass) -> tuple[int, int]:
     lo, hi = 0, len(doc.html)
     cur_node = -1
     m_cur = tm.nonanchor(lo, hi)  # computed once; children reuse m[j]
-    ts, te, cum = tm.ts, tm.te, tm.cum
-    ats, ate, acum = tm.ats, tm.ate, tm.acum
+    ts_l, te_l, cum_l = tm.ts_l, tm.te_l, tm.cum_l
+    ats_l, ate_l, acum_l = tm.ats_l, tm.ate_l, tm.acum_l
+    cstart, cend = doc.cstart, doc.cend
     while True:
         if m_cur <= 0:
             return lo, hi
         kids = doc.roots() if cur_node < 0 else doc.children_of(cur_node)
         if not kids:
             return lo, hi
-        k_arr = np.asarray(kids, dtype=np.int64)
-        klo = doc.cstart[k_arr]
-        khi = doc.cend[k_arr]
-        m = _mass_many(ts, te, cum, klo, khi) - _mass_many(
-            ats, ate, acum, klo, khi
-        )
-        j = int(np.argmax(m))  # ties: first (earliest start) wins
-        if m[j] < DESCEND_FRACTION * m_cur:
+        # child sets are tiny (2-8): scalar bisect beats numpy dispatch
+        best = -1
+        best_m = -1
+        for k in kids:
+            klo = int(cstart[k])
+            khi = int(cend[k])
+            mk = _mass_one(ts_l, te_l, cum_l, klo, khi) - _mass_one(
+                ats_l, ate_l, acum_l, klo, khi
+            )
+            if mk > best_m:  # ties: first (earliest start) wins
+                best_m = mk
+                best = k
+        if best < 0 or best_m < DESCEND_FRACTION * m_cur:
             return lo, hi
-        cur_node = int(k_arr[j])
-        lo, hi = int(klo[j]), int(khi[j])
-        m_cur = int(m[j])
+        cur_node = best
+        lo, hi = int(cstart[best]), int(cend[best])
+        m_cur = best_m
 
 
 def pruned_ranges(
@@ -179,8 +211,13 @@ def pruned_ranges(
     ids = doc.nodes_in_range(lo, hi)
     if len(ids) == 0:
         return []
-    tags = doc.tag_arr[ids]
-    boiler = np.isin(tags, _BOILER_ARR)
+    tag_list = doc.tag
+    a0 = int(ids[0])
+    boiler = np.fromiter(
+        (tag_list[j] in BOILER_TAGS for j in range(a0, a0 + len(ids))),
+        dtype=bool,
+        count=len(ids),
+    )
     cs = doc.cstart[ids]
     ce = doc.cend[ids]
     tl = tm.text_len_many(cs, ce)
@@ -253,10 +290,9 @@ def main_content_spans(
     # an input media span at a text boundary precedes the following text
     ids = doc.nodes_in_range(lo, hi)
     if len(ids):
-        m_mask = np.isin(doc.tag_arr[ids], np.asarray(MEDIA_TAGS, dtype=object))
-        for j in ids[m_mask]:
-            j = int(j)
-            if not in_pruned(int(doc.start[j])):
+        tag_list = doc.tag
+        for j in range(int(ids[0]), int(ids[0]) + len(ids)):
+            if tag_list[j] in MEDIA_TAGS and not in_pruned(int(doc.start[j])):
                 attrs = doc.attrs(j)
                 ref = attrs.get("src") or attrs.get("data-src") or ""
                 events.append((int(doc.start[j]), 0, "media", "", ref))
