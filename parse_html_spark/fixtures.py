@@ -236,8 +236,8 @@ def write_corpus_parquet(
     if procs is None:
         procs = min(16, mp.cpu_count()) if n >= 4096 else 1
     chunks = [
-        (start + k, min(rows_per_group, start + n - k), seed)
-        for k in range(start, start + n, rows_per_group)
+        (start + k, min(rows_per_group, n - k), seed)
+        for k in range(0, n, rows_per_group)
     ]
     if procs > 1:
         with mp.Pool(procs) as pool:

@@ -99,10 +99,26 @@ def _is_lone_id(comp: Compound) -> bool:
     )
 
 
+def _has_parsable_atom(comp: Compound) -> bool:
+    """True when the compound's atoms yield >=1 parsable condition field.
+    In the reference, such compounds route through getElementByAttribute
+    -> validateStartTag [:756 callback, :504, :1481-1488], which enforces
+    the 107-tag whitelist even on the tag-dispatched path -- so
+    'blink[data-n>1]' matches nothing upstream (blink not whitelisted)
+    while bare 'blink' matches (tag scan skips validation, [:756-758])."""
+    return bool(parse_fields(build_conditions(comp.attributes)))
+
+
 def node_matches(doc: DocIndex, comp: Compound, i: int) -> bool:
     if comp.tag is not None:
         if doc.tag[i] != comp.tag.lower():
             return False
+        if (
+            comp.attributes
+            and doc.tag[i] not in KNOWN_TAGS
+            and _has_parsable_atom(comp)
+        ):
+            return False  # attribute path validates even with a tag
     elif comp.attributes and doc.tag[i] not in KNOWN_TAGS:
         return False  # attribute dispatch validates the tag whitelist
     if _is_lone_id(comp):
@@ -116,6 +132,12 @@ def _match_in_range(doc: DocIndex, comp: Compound, lo: int, hi: int) -> list[int
         return []
     if comp.tag is not None:
         want = comp.tag.lower()
+        if (
+            comp.attributes
+            and want not in KNOWN_TAGS
+            and _has_parsable_atom(comp)
+        ):
+            return []  # attribute path validates even with a tag
         cand = [int(j) for j in cand if doc.tag[j] == want]
     elif comp.attributes:
         # attribute dispatch: only whitelisted HTML tags are candidates

@@ -150,7 +150,10 @@ def compile_selector(selector: str) -> SelectorPlan | None:
                 # closing quote terminates the value. The reference CODE
                 # appends it [:1110-1112], but its authoritative docblock
                 # AST golden [:936-942] shows the quote consumed -- we
-                # follow the documented semantics.
+                # follow the documented semantics. The reference also has
+                # no space branch here (embedded spaces dropped); we keep
+                # them. Ledgered as SURVEY 2.11 quirk A.12 with pinned
+                # fixtures (test_selector.py).
                 quote = ""
             elif typ == "meta" and ch == "]":
                 reg_el = True

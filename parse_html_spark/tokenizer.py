@@ -180,12 +180,20 @@ class DocIndex:
                     else:
                         stack.append(idx)
             elif last == 2:
-                stack = get_stack(m.group(2).lower())
-                if stack:
-                    idx = stack.pop()
-                    ends[idx] = e_tok
-                    cends[idx] = s_tok
-                # orphan close tag: markup only
+                # Only an EXACT '</name>' closes: the reference's
+                # constructElement searches the literal closer with
+                # stripos [:1571-1580], so '</div >' / '</div x>' close
+                # nothing (the element stays a bare start tag) -- but
+                # they are still markup tokens (strip_tags removes them
+                # from text). Exact form <=> token length == len(name)+3.
+                cname = m.group(2)
+                if e_tok - s_tok == len(cname) + 3:
+                    stack = get_stack(cname.lower())
+                    if stack:
+                        idx = stack.pop()
+                        ends[idx] = e_tok
+                        cends[idx] = s_tok
+                # orphan/junk close tag: markup only
 
         n = len(tags)
         self.n = n

@@ -171,3 +171,17 @@ def test_unclosed_element_text_empty():
     assert len(ph) == 1
     assert ph.html() == "<span>"
     assert ph.text() == ""
+
+
+def test_tag_with_attrs_enforces_whitelist():
+    """Quirk 14 pin (SURVEY 2.11): a compound with a tag AND parsable
+    attribute atoms routes through getElementByAttribute ->
+    validateStartTag (ParseHTML.php:756, :504, :1481-1488), which
+    enforces the 107-tag whitelist -- so 'blink[data-n>1]' matches
+    nothing, while bare 'blink' (tag scan, no validation :756-758)
+    matches."""
+    doc = '<blink data-n="5">X</blink><p data-n="5">P</p>'
+    assert len(PH(doc).find("blink")) == 1  # tag-only: no validation
+    assert len(PH(doc).find("blink[data-n>1]")) == 0  # whitelist enforced
+    assert len(PH(doc).find("p[data-n>1]")) == 1  # whitelisted tag passes
+    assert len(PH(doc).find('blink[data-n="5"]')) == 0

@@ -131,3 +131,21 @@ def test_bracket_then_descendant():
     assert plan_as_tuples(compile_selector("[a=1] b")) == [
         [(False, None, [("a", "=", "1")]), (False, "b", [])]
     ]
+
+
+def test_quoted_value_divergence_pin():
+    """Quirk A.12 pin (SURVEY 2.11): the reference CODE appends the
+    closing quote into the value (ParseHTML.php:1110-1112; '[href="x"]'
+    -> value 'x"') and drops embedded spaces ('[title="a b"]' -> 'ab');
+    its own docblock AST golden (:936-942) consumes the quote. We follow
+    the documented semantics: quote consumed, spaces kept."""
+    assert plan_as_tuples(compile_selector('[href="x"]')) == [
+        [(False, None, [("href", "=", "x")])]
+    ]
+    assert plan_as_tuples(compile_selector('[title="a b"]')) == [
+        [(False, None, [("title", "=", "a b")])]
+    ]
+    # unquoted values are the agreement region (fixtures use these)
+    assert plan_as_tuples(compile_selector("[href=x]")) == [
+        [(False, None, [("href", "=", "x")])]
+    ]

@@ -142,3 +142,24 @@ def test_trim_html():
 def test_depth():
     d = DocIndex("<a><b><c></c></b></a>")
     assert list(d.depth) == [0, 1, 2]
+
+
+def test_junk_close_tag_does_not_close():
+    """Quirk 13 pin (SURVEY 2.11): constructElement searches the literal
+    '</div>' with stripos (ParseHTML.php:1571-1580), so a closer with
+    trailing junk closes nothing -- the element stays a bare start tag --
+    but strip_tags still removes the junk closer from text."""
+    d = DocIndex("<div>a</div >b")
+    assert d.n == 1
+    assert d.contents(0) == ""  # bare start tag: empty contents
+    assert d.is_bare(0)
+    assert d.text_between(0, len(d.html)) == "ab"  # junk closer is markup
+
+    d2 = DocIndex("<div>a</div x>b</div>c")
+    # the LATER exact closer closes; contents span the junk closer
+    assert d2.n == 1
+    assert d2.contents(0) == "a</div x>b"
+    assert d2.text_between(0, len(d2.html)) == "abc"
+
+    d3 = DocIndex("<div>a</DIV>b")  # stripos: case-insensitive close
+    assert d3.contents(0) == "a"
