@@ -2,10 +2,11 @@
 
 ``entry(spark)`` runs the flagship main-content extraction pipeline at
 sf0.001. ``queries()`` exposes one entry per implemented operator from
-SURVEY.md section 2 (plus the training-data operators); each has a
-DuckDB-runnable ``oracle_sql()`` twin unless the operator is not
-SQL-expressible (minhash/simhash LSH, approximate ANN), which get the
-weaker rows-only check.
+SURVEY.md section 2 (plus the training-data operators); EVERY query has
+a DuckDB-runnable ``oracle_sql()`` twin -- including the LSH dedup ops
+(verified-minhash output equals exact-threshold Jaccard; simhash uses
+DuckDB's md5_number_upper so the full algorithm is SQL) and the
+iterative connected-components op (recursive-CTE closure).
 
 The HTML-engine queries synthesize a deterministic span-document per row
 of the ``documents`` table (pure SQL string building), run the REAL
@@ -434,8 +435,15 @@ def _q_cosine_topk(spark, sf_dir):
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    # NOT SQL-expressible (seeded minhash LSH) -> rows-only check.
-    from parse_html_spark.functions.dedup import minhash_lsh_pairs
+    """MinHash-LSH candidates VERIFIED by exact shingle Jaccard (the
+    verify-within-buckets operator). ORACLE-GRADE: the emitted set equals
+    ALL pairs with shingle-Jaccard >= 0.6 (DuckDB computes that side), so
+    the hash compare proves both 100% recall (planted '+tail' near-dups
+    and the corpus's own near-dups must all surface through banding --
+    with 64 hashes/32 bands a J=0.6 pair is missed w.p. < 1e-6, J>=0.87
+    pairs w.p. < 1e-19) and 100% precision (every emitted pair clears the
+    exact threshold)."""
+    from parse_html_spark.functions.dedup import minhash_near_duplicates
 
     docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 60)
     near = docs.select(
@@ -443,11 +451,17 @@ def _q_minhash_pairs(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" tail")).alias("text"),
     )
     both = docs.select("doc_id", "text").unionByName(near)
-    return minhash_lsh_pairs(both)
+    return minhash_near_duplicates(
+        both, num_hashes=64, bands=32, min_jaccard=0.6
+    ).select("id_a", "id_b", "jaccard")
 
 
 def _q_simhash_pairs(spark, sf_dir):
-    # NOT SQL-expressible (md5 bit ops) -> rows-only check.
+    """SimHash near-dup pairs. FULLY SQL-expressible: the token hash is
+    DuckDB's md5_number_upper (little-endian upper 8 md5 bytes), and the
+    chunk banding is lossless by pigeonhole (n_chunks > max_hamming), so
+    the output is exactly ALL pairs within Hamming radius 8 and the
+    oracle recomputes the complete algorithm in SQL."""
     from parse_html_spark.functions.dedup import simhash_near_pairs
 
     docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 60)
@@ -456,7 +470,19 @@ def _q_simhash_pairs(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" x")).alias("text"),
     )
     both = docs.select("doc_id", "text").unionByName(near)
-    return simhash_near_pairs(both, max_hamming=6)
+    return simhash_near_pairs(both, max_hamming=8)
+
+
+def _q_dup_clusters(spark, sf_dir):
+    """Connected components over exact-Jaccard dup pairs (iterative
+    min-label propagation with pointer jumping). Oracle: DuckDB
+    recursive-CTE transitive closure, cluster = min reachable id."""
+    from parse_html_spark.functions.dedup import token_jaccard_pairs
+    from parse_html_spark.training import dup_clusters
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 40)
+    pairs = token_jaccard_pairs(docs, min_jaccard=0.2)
+    return dup_clusters(pairs).select("doc_id", "cluster")
 
 
 def _q_node_counts(spark, sf_dir):
@@ -578,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "dup_clusters": _q_dup_clusters,
         "node_counts": _q_node_counts,
         "node_descendants": _q_node_descendants,
         "events_window": _q_events_window,
@@ -590,6 +617,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     stop_list = "'the','a','of','and','to','in','is','it','on','for'"
+    ltok_f = (
+        "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        "t -> t <> '')"
+    )
+    mh_base = (
+        "SELECT doc_id, text FROM documents WHERE doc_id < 60 "
+        "UNION ALL SELECT doc_id + 20000000 AS doc_id, text || ' tail' "
+        "AS text FROM documents WHERE doc_id < 60"
+    )
+    sh_base = (
+        "SELECT doc_id, text FROM documents WHERE doc_id < 60 "
+        "UNION ALL SELECT doc_id + 20000000 AS doc_id, text || ' x' "
+        "AS text FROM documents WHERE doc_id < 60"
+    )
     fp = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
     tok = "regexp_split_to_array(trim(text), '\\s+')"
     ltok = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -698,6 +739,67 @@ def oracle_sql() -> dict[str, str]:
             "AS jaccard FROM common "
             "JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b "
             "WHERE round(common / (sa.n_tok + sb.n_tok - common), 4) >= 0.2"
+        ),
+        # the verified-minhash output equals ALL pairs with shingle
+        # Jaccard >= 0.6 (LSH banding is recall-certain far above the
+        # data's threshold gap) -- DuckDB computes that side exactly
+        "minhash_pairs": (
+            f"WITH base AS ({mh_base}), "
+            f"tok AS (SELECT doc_id, unnest({ltok_f}) AS tok, "
+            f"generate_subscripts({ltok_f}, 1) AS pos FROM base), "
+            "sh AS (SELECT DISTINCT doc_id AS id, tok || ' ' || "
+            "lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle "
+            "FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos) "
+            "QUALIFY lead(tok, 2) OVER w IS NOT NULL), "
+            "sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id), "
+            "common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 4) AS jaccard "
+            "FROM common JOIN sizes sa ON sa.id = id_a "
+            "JOIN sizes sb ON sb.id = id_b "
+            "WHERE round(c / (sa.n + sb.n - c), 4) >= 0.6"
+        ),
+        # the COMPLETE simhash algorithm in SQL: token hash is DuckDB's
+        # md5_number_upper; chunk banding is pigeonhole-lossless so the
+        # Spark output is exactly all pairs within Hamming radius 8
+        "simhash_pairs": (
+            f"WITH base AS ({sh_base}), "
+            f"toks AS (SELECT doc_id, unnest({ltok_f}) AS tok FROM base), "
+            "bits AS (SELECT doc_id, b.bit, SUM(CASE WHEN "
+            "(md5_number_upper(tok) >> (63 - b.bit)) & 1 = 1 "
+            "THEN 1 ELSE -1 END) AS acc FROM toks "
+            "CROSS JOIN (SELECT unnest(range(64)) AS bit) b GROUP BY 1, 2), "
+            "sims AS (SELECT doc_id, CAST(SUM(CASE WHEN acc > 0 THEN "
+            "CASE WHEN bit = 0 THEN -9223372036854775808 "
+            "ELSE (CAST(1 AS BIGINT) << CAST(63 - bit AS INT)) END "
+            "ELSE 0 END) AS BIGINT) AS sh FROM bits GROUP BY 1) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming "
+            "FROM sims a JOIN sims b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.sh, b.sh)) <= 8"
+        ),
+        # iterative connected components vs a recursive-CTE transitive
+        # closure: cluster = min reachable doc_id over the same exact
+        # Jaccard pair graph the green jaccard_pairs oracle uses
+        "dup_clusters": (
+            "WITH RECURSIVE toks AS (SELECT DISTINCT doc_id AS id, unnest("
+            "regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok "
+            "FROM documents WHERE doc_id < 40), "
+            "toks2 AS (SELECT id, tok FROM toks WHERE tok <> ''), "
+            "sizes AS (SELECT id, count(*) AS n_tok FROM toks2 GROUP BY id), "
+            "common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common "
+            "FROM toks2 a JOIN toks2 b ON a.tok = b.tok AND a.id < b.id "
+            "GROUP BY 1, 2), "
+            "pairs AS (SELECT id_a, id_b FROM common "
+            "JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b "
+            "WHERE round(common / (sa.n_tok + sb.n_tok - common), 4) >= 0.2), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(src, dst) AS (SELECT a, a FROM edges UNION "
+            "SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst) "
+            "SELECT src AS doc_id, min(dst) AS cluster FROM reach "
+            "GROUP BY src"
         ),
         "cosine_topk": (
             "SELECT vec_id, round(list_cosine_similarity("

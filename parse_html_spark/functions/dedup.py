@@ -56,7 +56,7 @@ def _mh_coeffs(num_hashes: int):
     return a, b
 
 
-def _minhash_sig(text: str, num_hashes: int, shingle_words: int) -> list[int]:
+def _minhash_sig(text: str, num_hashes: int, shingle_words: int, coeffs=None) -> list[int]:
     """MinHash signature: crc32 per shingle ONCE, then the num_hashes
     universal-hash permutations ((a*h+b) mod p) as one numpy outer
     product -- no per-seed Python loop."""
@@ -75,7 +75,7 @@ def _minhash_sig(text: str, num_hashes: int, shingle_words: int) -> list[int]:
         dtype=np.int64,
         count=len(shingles),
     )
-    a, b = _mh_coeffs(num_hashes)
+    a, b = coeffs if coeffs is not None else _mh_coeffs(num_hashes)
     hm = h % _MH_PRIME
     perm = (a[:, None] * hm[None, :] + b[:, None]) % _MH_PRIME
     return perm.min(axis=1).tolist()
@@ -88,13 +88,17 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<long>) via an Arrow-batched pandas UDF."""
+    """(id, sig: array<long>) via an Arrow-batched pandas UDF. The
+    permutation coefficients are generated ONCE on the driver and
+    closure-captured (not per document)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    coeffs = _mh_coeffs(num_hashes)
+
     def _sig(texts: pd.Series) -> pd.Series:
         return texts.map(
-            lambda t: _minhash_sig(t or "", num_hashes, shingle_words)
+            lambda t: _minhash_sig(t or "", num_hashes, shingle_words, coeffs)
         )
 
     sig_udf = pandas_udf(_sig, "array<long>")
@@ -144,34 +148,67 @@ def minhash_lsh_pairs(
 # -- SimHash ---------------------------------------------------------------
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash: long) -- 64-bit SimHash over whitespace tokens using
-    md5-derived token hashes (deterministic)."""
+    """(id, simhash: long) -- 64-bit SimHash over whitespace tokens.
+
+    Token hash = little-endian uint64 of the first 8 md5 bytes, which is
+    exactly DuckDB's ``md5_number_upper`` -- making the WHOLE algorithm
+    ANSI-SQL-expressible for oracle checking (bit b of the signature is
+    sign(sum over tokens of ±1 by (hash >> (63-b)) & 1)).
+
+    Vectorized per Arrow batch: each UNIQUE token is hashed once (with a
+    worker-local cache across batches), the ±1 bit matrix is built by
+    one ``np.unpackbits``, and per-document accumulation is a single
+    ``np.add.reduceat`` over the batch -- no per-token Python loop in
+    the steady state."""
     import hashlib
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def one(text: str) -> int:
-        toks = (text or "").lower().split()
-        if not toks:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-            bits = np.unpackbits(
-                np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
-            ).astype(np.int64)
-            acc += bits * 2 - 1
-        out = 0
-        for bit in np.where(acc > 0)[0]:
-            out |= 1 << int(63 - bit)
-        return out - (1 << 64) if out >= (1 << 63) else out
+    hash_cache: dict[str, int] = {}
 
-    def _sim(texts: pd.Series) -> pd.Series:
-        return texts.map(one)
+    def _batch(texts: pd.Series) -> pd.Series:
+        tok_lists = [(t or "").lower().split() for t in texts]
+        lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64, count=len(tok_lists))
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(np.zeros(len(texts), dtype=np.int64))
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for tl in tok_lists:
+            flat[pos : pos + len(tl)] = tl
+            pos += len(tl)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        if len(hash_cache) > 4_000_000:
+            hash_cache.clear()
+        hs = np.empty(len(uniq), dtype=np.uint64)
+        get = hash_cache.get
+        for k, tkn in enumerate(uniq):
+            h = get(tkn)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.md5(tkn.encode("utf-8")).digest()[:8], "little"
+                )
+                hash_cache[tkn] = h
+            hs[k] = h
+        # (n_uniq, 64) sign matrix, bit 0 = MSB of the 64-bit hash
+        be_bytes = hs[:, None].astype(">u8").view(np.uint8).reshape(-1, 8)
+        signs = np.unpackbits(be_bytes, axis=1).astype(np.int32) * 2 - 1
+        tok_signs = signs[inv]
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        nonempty = lens > 0
+        # reduceat needs strictly valid start offsets; clamp empties and
+        # zero them afterward
+        safe_starts = np.minimum(starts, total - 1)
+        acc = np.add.reduceat(tok_signs, safe_starts, axis=0)
+        acc[~nonempty] = 0
+        packed = np.packbits(acc > 0, axis=1)
+        out = packed.view(">u8").reshape(-1).astype(np.uint64).view(np.int64)
+        return pd.Series(out)
 
-    sim_udf = pandas_udf(_sim, "long")
+    sim_udf = pandas_udf(_batch, "long")
 
     return df.select(F.col(id_col), sim_udf(F.col(text_col)).alias("simhash"))
 
@@ -179,8 +216,18 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 def simhash_near_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, banded on 16-bit
-    chunks (a pair within distance 3 shares at least one of 4 chunks)."""
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Banding is LOSSLESS by pigeonhole: the 64 bits are cut into
+    n_chunks = max(4, max_hamming + 1) chunks, so a pair within distance
+    max_hamming cannot differ in every chunk and MUST collide on at
+    least one -- the output is therefore exactly ALL pairs within the
+    Hamming radius (oracle-checkable), while shuffling only short
+    (chunk, value, id) keys, never a cross join."""
+    n_chunks = max(4, max_hamming + 1)
+    w = 64 // n_chunks
+    widths = [w] * (n_chunks - 1) + [64 - w * (n_chunks - 1)]
+    offs = [k * w for k in range(n_chunks)]
     sh = simhash64(df, text_col, id_col)
     chunks = sh.select(
         F.col(id_col),
@@ -188,8 +235,10 @@ def simhash_near_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("simhash", k * 16).bitwiseAND(F.lit(0xFFFF))
-                    for k in range(4)
+                    F.shiftrightunsigned("simhash", offs[k]).bitwiseAND(
+                        F.lit((1 << widths[k]) - 1 if widths[k] < 64 else -1)
+                    )
+                    for k in range(n_chunks)
                 ]
             )
         ).alias("chunk", "chunk_val"),
@@ -212,7 +261,7 @@ def simhash_near_pairs(
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.filter(hamming <= max_hamming).select(
-        "id_a", "id_b", hamming.alias("hamming")
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
     )
 
 
@@ -223,16 +272,37 @@ def token_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_jaccard: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact distinct-token-set Jaccard for all pairs sharing >= 1 token.
     Pure relational form (explode + equi-join + group) -- identical
-    semantics in any SQL engine; the DuckDB oracle runs the same query."""
+    semantics in any SQL engine; the DuckDB oracle runs the same query.
+
+    SCALE GUARD: the token equi-join is quadratic in per-token document
+    frequency (a token in k docs yields k^2/2 join rows -- 'the' on a web
+    corpus is a de-facto cross join). ``max_df`` drops tokens whose
+    document frequency exceeds the cap BEFORE the join (from both the
+    common counts and the set sizes), bounding every token's join
+    contribution to max_df^2/2 rows. Stop-word-frequency tokens carry no
+    similarity signal, so a cap in the hundreds changes near-dup pairs
+    negligibly while removing the quadratic blowup. For corpus-scale
+    near-dup detection prefer minhash_near_duplicates(), which only ever
+    computes exact Jaccard within LSH candidate buckets."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(F.split(F.trim(F.lower(text_col)), r"\s+"))
         ).alias("tok"),
     ).filter(F.col("tok") != "")
+    if max_df is not None:
+        hot = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("tok")
+        )
+        # hot-token list is tiny by construction -> broadcast anti-join
+        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
     sizes = toks.groupBy("id").agg(F.count("*").alias("n_tok"))
     a, b = toks.alias("a"), toks.alias("b")
     common = (
@@ -248,4 +318,105 @@ def token_jaccard_pairs(
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# -- verify-within-buckets (exact Jaccard on candidate pairs only) ----------
+
+def tokens_col(text_col):
+    """Distinct whitespace tokens of lower(trim(text)) as array<string>
+    (empty-string tokens removed) -- pure Column expr, JVM-side."""
+    return F.array_distinct(
+        F.filter(
+            F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != ""
+        )
+    )
+
+
+def shingles_col(text_col, shingle_words: int = 3):
+    """Distinct word-shingles as array<string>, matching _minhash_sig's
+    shingling exactly (docs shorter than shingle_words collapse to the
+    single joined-token shingle). Pure Column exprs -- whole-stage
+    codegen, no Python."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != ""
+    )
+    k = shingle_words
+    joined = F.array_join(toks, " ")
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.when(F.size(toks) < k, F.array(joined)).otherwise(
+        F.array_distinct(windows)
+    )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int | None = None,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """EXACT Jaccard computed ONLY for the given candidate pairs
+    (id_a, id_b) -- the verify-within-buckets stage of LSH dedup.
+
+    Feature sets are distinct tokens (shingle_words=None) or distinct
+    word-shingles (matching MinHash's shingling). The candidate set is
+    tiny relative to the corpus, so the two id equi-joins move feature
+    arrays only for documents that appear in some pair; nothing is ever
+    all-pairs. Output: (id_a, id_b, jaccard) with jaccard rounded to 4
+    places and filtered to >= min_jaccard."""
+    feats = (
+        shingles_col(F.col(text_col), shingle_words)
+        if shingle_words
+        else tokens_col(F.col(text_col))
+    )
+    t = df.select(F.col(id_col).alias("_vid"), feats.alias("_f"))
+    a = t.select(F.col("_vid").alias("id_a"), F.col("_f").alias("_fa"))
+    b = t.select(F.col("_vid").alias("id_b"), F.col("_f").alias("_fb"))
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    c = F.size(F.array_intersect("_fa", "_fb"))
+    na, nb = F.size("_fa"), F.size("_fb")
+    jac = F.round(c / (na + nb - c), 4)
+    return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= min_jaccard
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_words: int = 3,
+    min_jaccard: float = 0.6,
+) -> DataFrame:
+    """MinHash-LSH candidates VERIFIED by exact shingle Jaccard -- the
+    production near-dup operator: banding bounds candidate generation
+    (short-key equi-join, never all-pairs), and exact Jaccard is computed
+    only within buckets, so false-positive collisions never survive.
+
+    With r = num_hashes/bands rows per band, a pair at Jaccard J is
+    missed with probability (1 - J^r)^bands -- the 64/32 default gives
+    r=2, so J=0.6 pairs are caught w.p. 1-(1-0.36)^32 > 1 - 1e-6.
+    Output: (id_a, id_b, jaccard >= min_jaccard)."""
+    cand = minhash_lsh_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_words=shingle_words,
+    )
+    return jaccard_verify_pairs(
+        df,
+        cand,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_words=shingle_words,
+        min_jaccard=min_jaccard,
     )

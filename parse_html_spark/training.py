@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .functions.dedup import minhash_lsh_pairs
 from .functions.textfn import quality_score, token_count
 from .pipeline import extract_spans, prepare_partitions
 
@@ -55,31 +54,50 @@ def quality_filter(
     )
 
 
-def drop_near_duplicates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Remove the higher-id member of every MinHash candidate pair
-    (keeper = min id per pair chain's immediate edges). Exact for pairs;
-    cluster-transitive removal is dup_clusters()."""
-    pairs = minhash_lsh_pairs(docs, id_col=id_col)
+def drop_near_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", min_jaccard: float = 0.6
+) -> DataFrame:
+    """Remove the higher-id member of every VERIFIED near-dup pair
+    (MinHash-LSH candidates confirmed by exact shingle Jaccard within
+    buckets -- LSH false positives never remove a document). Exact for
+    pairs; cluster-transitive removal is dup_clusters()."""
+    from .functions.dedup import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(docs, id_col=id_col, min_jaccard=min_jaccard)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
-    """Connected components over dup pairs (id_a < id_b) by iterative
-    min-label propagation -- the non-SQL-expressible iterative op.
-    Returns (doc_id, cluster) where cluster = min doc_id of the
-    component. Converges in O(log diameter) joins; dup chains are short
-    in practice, and max_iter bounds the worst case."""
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over dup pairs (id_a < id_b) -- the
+    iterative (non-single-SQL) op. Returns (doc_id, cluster) with
+    cluster = min doc_id of the component.
+
+    Each round does (1) neighbor-min propagation over the edge set and
+    (2) POINTER JUMPING (cluster <- cluster-of-cluster), so the covered
+    radius roughly doubles per round: a diameter-D component converges
+    in O(log D) rounds, not O(D) -- a 10k-node chain needs ~15 rounds.
+
+    Both the edge set and each round's labels are localCheckpoint()ed:
+    the lineage is truncated every iteration, so round N's plan does not
+    re-evaluate rounds 0..N-1 (without this, iterative joins re-trigger
+    the whole prefix per round and per-round wall time grows without
+    bound). localCheckpoint trades lineage for executor-local storage;
+    on clusters where executor loss matters, swap for checkpoint() with
+    a checkpoint dir."""
     edges = pairs.select("id_a", "id_b")
-    edges = edges.unionByName(
-        pairs.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    edges = (
+        edges.unionByName(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
         )
-    ).distinct()
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("id_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster", F.col("doc_id"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -87,14 +105,25 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .groupBy(F.col("id_a").alias("doc_id"))
             .agg(F.min("cluster").alias("n_cluster"))
         )
+        stepped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster"), F.coalesce("n_cluster", "cluster")
+            ).alias("cluster"),
+        )
+        # pointer jump: cluster <- label(cluster). Every cluster value is
+        # itself a doc_id present in labels (it is a min over component
+        # members), so the lookup join always resolves.
+        lut = stepped.select(
+            F.col("doc_id").alias("_cid"), F.col("cluster").alias("_ccl")
+        )
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            stepped.join(lut, stepped.cluster == lut._cid, "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster"), F.coalesce("n_cluster", "cluster")
-                ).alias("cluster"),
+                F.coalesce("_ccl", "cluster").alias("cluster"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

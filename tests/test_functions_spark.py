@@ -173,3 +173,118 @@ def test_media_stub_raises_without_fake(spark):
     with pytest.raises(Exception) as ei:
         extract_media_features(attach_payload(df), fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+
+
+def test_minhash_verified_recall_and_precision(spark):
+    """VERDICT r01 item 1: plant known near-dups, assert (a) 100% recall
+    of planted pairs through LSH banding and (b) every emitted candidate
+    clears the exact shingle-Jaccard threshold (precision by
+    construction of the verify stage)."""
+    from parse_html_spark.functions.dedup import (
+        jaccard_verify_pairs,
+        minhash_near_duplicates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.filter(F.col("doc_id") < 30).select("doc_id", "text")
+    near = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    both = docs.unionByName(near)
+    got = minhash_near_duplicates(
+        both, num_hashes=64, bands=32, min_jaccard=0.6
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    planted = {(i, i + 1000) for i in range(30)}
+    assert planted <= pairs  # 100% recall of planted near-dups
+    # precision: re-verify every emitted pair with exact Jaccard
+    emitted = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "id_a long, id_b long"
+    )
+    verified = jaccard_verify_pairs(both, emitted, shingle_words=3)
+    assert all(r["jaccard"] >= 0.6 for r in verified.collect())
+
+
+def test_simhash_vectorized_matches_scalar_reference(spark):
+    """The batch-vectorized simhash equals a straightforward per-doc
+    scalar computation (same md5_number_upper token hash)."""
+    import hashlib
+
+    from parse_html_spark.functions.dedup import simhash64
+
+    texts = [
+        "the quick brown fox",
+        "",
+        "one",
+        "a b c d e f g a b c",
+        "Mixed CASE Tokens mixed case",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+
+    def scalar(text):
+        toks = text.lower().split()
+        if not toks:
+            return 0
+        acc = [0] * 64
+        for t in toks:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            for b in range(64):
+                acc[b] += 1 if (h >> (63 - b)) & 1 else -1
+        out = 0
+        for b in range(64):
+            if acc[b] > 0:
+                out |= 1 << (63 - b)
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    for i, t in enumerate(texts):
+        assert got[i] == scalar(t), (i, t)
+
+
+def test_simhash_banding_lossless_for_radius(spark):
+    """Pigeonhole banding: every pair within the Hamming radius is
+    emitted (compare against brute-force over collected simhashes)."""
+    from parse_html_spark.functions.dedup import simhash64, simhash_near_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.filter(F.col("doc_id") < 25).select("doc_id", "text")
+    near = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat("text", F.lit(" y")).alias("text"),
+    )
+    both = docs.unionByName(near)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(both).collect()}
+    ids = sorted(sh)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= 8
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(both, max_hamming=8).collect()
+    }
+    assert got == brute
+
+
+def test_token_jaccard_max_df_bounds_hot_tokens(spark):
+    """The document-frequency cap drops quadratic hot tokens from the
+    equi-join while distinctive tokens still pair up."""
+    from parse_html_spark.functions.dedup import token_jaccard_pairs
+
+    # 'common' appears in every doc (hot); unique tails pair 1-2 only
+    rows = [(i, f"common filler{i % 2}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: 'common' joins all 190 pairs
+    uncapped = token_jaccard_pairs(df, min_jaccard=0.01)
+    assert uncapped.count() == 190
+    # capped at df<=10: 'common' (df=20) is dropped; only the filler0/
+    # filler1 groups (df=10 each) survive -> 2 * C(10,2) = 90 pairs,
+    # all with jaccard 1.0 on the remaining token set
+    capped = token_jaccard_pairs(df, min_jaccard=0.01, max_df=10).collect()
+    assert len(capped) == 90
+    assert all(r["jaccard"] == 1.0 for r in capped)

@@ -68,3 +68,26 @@ def test_parquet_filter_pushdown_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "n_chars" in plan
     assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200]
+
+def test_dup_clusters_long_chain_pointer_jumping(spark):
+    """A 10k-pair CHAIN graph (diameter 10k): plain neighbor-min label
+    propagation needs O(n) rounds; pointer jumping converges in
+    O(log n). Also exercises the per-round localCheckpoint -- without
+    it, 15 rounds of self-referential joins re-evaluate the whole
+    lineage prefix each round."""
+    import time
+
+    n = 10_001  # 10k edges
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    t0 = time.time()
+    labels = {
+        r["doc_id"]: r["cluster"] for r in dup_clusters(pairs).collect()
+    }
+    wall = time.time() - t0
+    assert len(labels) == n
+    assert set(labels.values()) == {0}  # fully converged to the min id
+    # generous bound: catches lineage blowup (which is minutes), not
+    # host noise
+    assert wall < 120, f"dup_clusters chain took {wall:.0f}s"
