@@ -176,7 +176,8 @@ def gen_doc(doc_i: int, seed: int = 42) -> dict:
     spans.append(
         {"kind": "text", "text": html[prev:], "media_ref": None, "offset": prev}
     )
-    return {"doc_id": f"doc-{doc_i:08d}", "spans": spans}
+    n_chars = sum(len(s["text"]) for s in spans if s["kind"] == "text")
+    return {"doc_id": f"doc-{doc_i:08d}", "spans": spans, "n_chars": n_chars}
 
 
 def gen_docs(n: int, seed: int = 42, start: int = 0):
@@ -197,12 +198,21 @@ def _arrow_schema():
             ]
         )
     )
-    return pa.schema([("doc_id", pa.string()), ("spans", span_type)])
+    # n_chars is the INGEST-TIME document size column: downstream skew
+    # routing (pipeline.prepare_partitions) filters on it as a pushed-down
+    # parquet predicate instead of re-deriving sizes from span payloads
+    return pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("spans", span_type),
+            ("n_chars", pa.int64()),
+        ]
+    )
 
 
 def _gen_chunk(args):
     start, n, seed = args
-    ids, spans = [], []
+    ids, spans, nchars = [], [], []
     for i in range(start, start + n):
         d = gen_doc(i, seed)
         ids.append(d["doc_id"])
@@ -212,7 +222,8 @@ def _gen_chunk(args):
                 for s in d["spans"]
             ]
         )
-    return ids, spans
+        nchars.append(d["n_chars"])
+    return ids, spans, nchars
 
 
 def write_corpus_parquet(
@@ -241,14 +252,20 @@ def write_corpus_parquet(
     ]
     if procs > 1:
         with mp.Pool(procs) as pool:
-            for ids, spans in pool.imap(_gen_chunk, chunks, chunksize=4):
+            for ids, spans, nchars in pool.imap(_gen_chunk, chunks, chunksize=4):
                 writer.write_table(
-                    pa.table({"doc_id": ids, "spans": spans}, schema=schema)
+                    pa.table(
+                        {"doc_id": ids, "spans": spans, "n_chars": nchars},
+                        schema=schema,
+                    )
                 )
     else:
         for ch in chunks:
-            ids, spans = _gen_chunk(ch)
+            ids, spans, nchars = _gen_chunk(ch)
             writer.write_table(
-                pa.table({"doc_id": ids, "spans": spans}, schema=schema)
+                pa.table(
+                    {"doc_id": ids, "spans": spans, "n_chars": nchars},
+                    schema=schema,
+                )
             )
     writer.close()

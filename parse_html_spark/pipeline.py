@@ -382,32 +382,58 @@ def node_table(df):
     join strategy (broadcast the ancestor side when small)."""
     import pandas as pd
 
+    import numpy as np
+
     def run(batches):
         for pdf in batches:
-            rows = []
+            # parallel column lists (NOT per-node dicts): the numeric node
+            # arrays are appended whole per doc and concatenated once per
+            # batch -- Arrow serializes primitive columns, never row objects
+            col_doc, col_nid, col_tag, col_attrs = [], [], [], []
+            num_chunks = []  # per-doc (6, n) int64 blocks
             for doc_id, row_spans in zip(pdf["doc_id"], pdf["spans"]):
                 html, _ = assemble(_spans_of_row(row_spans))
                 doc = DocIndex(html)
-                for i in range(doc.n):
-                    attrs = {
-                        k: ("" if v is None else v)
-                        for k, v in doc.attrs(i).items()
-                    }
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "node_id": i,
-                            "tag": doc.tag[i],
-                            "start": int(doc.start[i]),
-                            "end": int(doc.end[i]),
-                            "cstart": int(doc.cstart[i]),
-                            "cend": int(doc.cend[i]),
-                            "parent": int(doc.parent[i]),
-                            "depth": int(doc.depth[i]),
-                            "attrs": attrs,
-                        }
+                n = doc.n
+                if n == 0:
+                    continue
+                col_doc.extend([doc_id] * n)
+                col_nid.append(np.arange(n, dtype=np.int32))
+                col_tag.extend(doc.tag)
+                num_chunks.append(
+                    np.stack(
+                        (doc.start, doc.end, doc.cstart, doc.cend,
+                         doc.parent, doc.depth)
                     )
-            yield pd.DataFrame(rows)
+                )
+                col_attrs.extend(
+                    {k: ("" if v is None else v) for k, v in doc.attrs(i).items()}
+                    for i in range(n)
+                )
+            if not col_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [], "node_id": [], "tag": [], "start": [],
+                        "end": [], "cstart": [], "cend": [], "parent": [],
+                        "depth": [], "attrs": [],
+                    }
+                )
+                continue
+            nums = np.concatenate(num_chunks, axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": col_doc,
+                    "node_id": np.concatenate(col_nid),
+                    "tag": col_tag,
+                    "start": nums[0],
+                    "end": nums[1],
+                    "cstart": nums[2],
+                    "cend": nums[3],
+                    "parent": nums[4].astype(np.int32),
+                    "depth": nums[5].astype(np.int32),
+                    "attrs": col_attrs,
+                }
+            )
 
     return _map_in_pandas(df, run, NODE_SCHEMA)
 
@@ -544,33 +570,41 @@ def prepare_partitions(
     partitions: int,
     mega_chars: int = MEGA_DOC_CHARS,
     shuffle_small: bool = False,
+    size_col: str = "n_chars",
 ):
-    """Skew defusal: give EACH mega-doc its own partition (round-robin
-    over the exact mega count) so the longest task is one biggest
-    document, not a packet of them. AQE cannot rebalance a Python map
-    stage by value skew (SURVEY.md section 4.3).
+    """Skew defusal: spread mega-docs round-robin so the longest task is
+    one biggest document, not a packet of them. AQE cannot rebalance a
+    Python map stage by value skew (SURVEY.md section 4.3).
+
+    When the input carries an INGEST-TIME size column (``size_col``,
+    written by the corpus generator), the mega split is a pushed-down
+    parquet predicate: row groups whose max(n_chars) stats clear the
+    threshold are pruned from the mega branch without touching span
+    bytes, and NO driver action runs before the real job. Without the
+    column, size is derived from span lengths (one extra columnar scan).
+
+    Mega docs are round-robin repartitioned into ``partitions`` slots --
+    no count() action is needed; with the mega fraction ~0.2% and
+    partitions sized at ~4x cores, each mega lands alone in its slot.
 
     Normal docs are NOT shuffled by default: byte-sized parquet scan
     splits already spread them evenly, and shuffling the full corpus
     through the exchange costs more than it saves (measured). Pass
     shuffle_small=True to force hash placement (needed when the input
-    layout is pathological, e.g. one giant unsplittable file).
-
-    At production scale the document size belongs in the table as an
-    ingest-time column (making the size split a pushed-down predicate and
-    the mega count a metadata lookup); here it is computed from spans,
-    which costs one extra cheap columnar scan for the mega branch."""
+    layout is pathological, e.g. one giant unsplittable file)."""
     from pyspark.sql import functions as F
 
-    sized = df.withColumn("_n_chars", doc_size_col())
-    small = sized.filter(F.col("_n_chars") <= mega_chars).drop("_n_chars")
+    if size_col in df.columns:
+        size = F.col(size_col)  # ingest column: predicate pushes to scan
+        small = df.filter(size <= mega_chars)
+        big_rows = df.filter(size > mega_chars)
+    else:
+        sized = df.withColumn("_n_chars", doc_size_col())
+        small = sized.filter(F.col("_n_chars") <= mega_chars).drop("_n_chars")
+        big_rows = sized.filter(F.col("_n_chars") > mega_chars).drop("_n_chars")
     if shuffle_small:
         small = small.repartition(partitions, F.col("doc_id"))
-    big_rows = sized.filter(F.col("_n_chars") > mega_chars).drop("_n_chars")
-    n_big = big_rows.count()
-    if n_big == 0:
-        return small
-    big = big_rows.repartition(n_big)  # round-robin: exactly 1 doc/partition
+    big = big_rows.repartition(partitions)  # round-robin mega placement
     return small.unionByName(big)
 
 
@@ -633,9 +667,9 @@ def run_resumable(
         if b in manifest["done"]:
             continue
         if bucketed_input:
-            part = spark.read.parquet(
-                os.path.join(input_path, f"bucket={b}")
-            ).select("doc_id", "spans")
+            part = spark.read.parquet(os.path.join(input_path, f"bucket={b}"))
+            keep = [c for c in ("doc_id", "spans", "n_chars") if c in part.columns]
+            part = part.select(*keep)
         else:
             part = df.filter(bucket_col == b)
         part = prepare_partitions(part, partitions)

@@ -47,12 +47,20 @@ def streaming_dedup_first_seen(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    state_ttl_ms: int | None = None,
 ):
     """Custom STATEFUL streaming operator: exactly-first-seen dedup over
     an unbounded span-doc stream, keyed by content fingerprint, via
     applyInPandasWithState. State (one boolean per fingerprint) persists
     in the checkpoint across micro-batches AND restarts, so a document
     whose text was ever emitted is never emitted again.
+
+    ``state_ttl_ms`` bounds state growth on unbounded streams: each
+    fingerprint's entry is evicted after that much processing time
+    without re-occurrence (ProcessingTimeTimeout; re-occurrence refreshes
+    the clock). Dedup semantics soften to first-seen-within-TTL -- the
+    standard memory/recall trade for infinite streams. With None
+    (default) state never expires (exact first-seen, unbounded state).
 
     Output rows: (fp, doc_id) of first-seen documents."""
     import pandas as pd
@@ -82,7 +90,12 @@ def streaming_dedup_first_seen(
     )
 
     def first_seen(key, pdf_iter, state):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # evict: the fp may be emitted again later
+            return iter(())
         if state.exists:
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)  # refresh TTL
             return iter(())
         first_doc = None
         for pdf in pdf_iter:
@@ -91,6 +104,8 @@ def streaming_dedup_first_seen(
         if first_doc is None:
             return iter(())
         state.update((True,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         return iter([pd.DataFrame({"fp": [key[0]], "doc_id": [first_doc]})])
 
     out = docs.groupBy("fp").applyInPandasWithState(
@@ -98,7 +113,11 @@ def streaming_dedup_first_seen(
         outputStructType="fp string, doc_id string",
         stateStructType="seen boolean",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return (
         out.writeStream.format("parquet")

@@ -278,3 +278,22 @@ def test_resumable_kill_and_resume(spark, tmp_path):
     a = {tuple(r) for r in full.collect()}
     b = {tuple(r) for r in resumed.collect()}
     assert a == b
+
+
+def test_prepare_partitions_ingest_size_pushdown(spark, corpus):
+    """With the ingest-time n_chars column, the mega split is a
+    pushed-down parquet predicate (no size recompute from spans, no
+    driver count action), and routing equals the derived-size path."""
+    assert "n_chars" in corpus.columns
+    routed = prepare_partitions(corpus, partitions=4, mega_chars=10_000)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_chars" in plan
+    legacy = prepare_partitions(
+        corpus.select("doc_id", "spans"), partitions=4, mega_chars=10_000
+    )
+    got = {
+        tuple(r)
+        for r in extract_spans(routed.select("doc_id", "spans")).collect()
+    }
+    want = {tuple(r) for r in extract_spans(legacy).collect()}
+    assert got == want

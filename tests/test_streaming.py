@@ -86,3 +86,40 @@ def test_stream_matches_batch_and_resumes(spark, tmp_path):
     )
     assert got2.count() == batch1.count() + batch2.count()
     assert got2.select("doc_id").distinct().count() == 15
+
+
+def test_stateful_dedup_state_ttl_evicts(spark, tmp_path):
+    """With state_ttl_ms, a fingerprint idle past the TTL is EVICTED
+    (memory stays bounded on unbounded streams) and a later
+    re-occurrence is emitted again; without TTL it stays suppressed
+    forever. Timeouts fire on keys with no data in a trigger, so an
+    intermediate unrelated batch after the TTL elapses drives eviction."""
+    import time
+
+    in_dir = str(tmp_path / "tin")
+    out_dir = str(tmp_path / "tout")
+    ckpt = str(tmp_path / "tck")
+    os.makedirs(in_dir)
+    ttl = 1_500  # ms
+
+    # batch 1: docs 0..4 -> emitted, state created with TTL
+    write_corpus_parquet(os.path.join(in_dir, "p1.parquet"), 5)
+    q = streaming_dedup_first_seen(spark, in_dir, out_dir, ckpt, state_ttl_ms=ttl)
+    q.awaitTermination(180)
+    assert spark.read.parquet(out_dir).count() == 5
+
+    # batch 2 AFTER the TTL: unrelated keys only -> the idle 0..4
+    # states time out and are removed in this trigger
+    time.sleep(3)
+    write_corpus_parquet(os.path.join(in_dir, "p2.parquet"), 3, start=500)
+    q2 = streaming_dedup_first_seen(spark, in_dir, out_dir, ckpt, state_ttl_ms=ttl)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out_dir).count() == 8
+
+    # batch 3: docs 0..4 AGAIN -> re-emitted (their state was evicted)
+    write_corpus_parquet(os.path.join(in_dir, "p3.parquet"), 5)
+    q3 = streaming_dedup_first_seen(spark, in_dir, out_dir, ckpt, state_ttl_ms=ttl)
+    q3.awaitTermination(180)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 13  # 5 + 3 + 5 re-emits
+    assert out.select("fp").distinct().count() == 8  # 0..4 appear twice
