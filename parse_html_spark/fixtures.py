@@ -250,22 +250,35 @@ def write_corpus_parquet(
         (start + k, min(rows_per_group, n - k), seed)
         for k in range(0, n, rows_per_group)
     ]
-    if procs > 1:
-        with mp.Pool(procs) as pool:
-            for ids, spans, nchars in pool.imap(_gen_chunk, chunks, chunksize=4):
-                writer.write_table(
-                    pa.table(
-                        {"doc_id": ids, "spans": spans, "n_chars": nchars},
-                        schema=schema,
-                    )
-                )
-    else:
-        for ch in chunks:
-            ids, spans, nchars = _gen_chunk(ch)
+    def _write(ids, spans, nchars):
+        # SIZE-CLUSTERED LAYOUT: megas get their own single-row row
+        # groups (document order preserved by splitting at mega rows).
+        # Row-group n_chars stats then make the skew split in
+        # prepare_partitions a TRUE pruning predicate: the small branch
+        # never touches mega span bytes and the mega branch reads only
+        # the single-row groups -- each input byte is scanned exactly
+        # once across both branches. This is the parquet stand-in for an
+        # Iceberg sort-order/size-clustering ingest spec.
+        cut = [k for k, c in enumerate(nchars) if c > MEGA_MIN]
+        bounds = sorted({0, len(ids), *cut, *[k + 1 for k in cut]})
+        for lo, hi in zip(bounds, bounds[1:]):
             writer.write_table(
                 pa.table(
-                    {"doc_id": ids, "spans": spans, "n_chars": nchars},
+                    {
+                        "doc_id": ids[lo:hi],
+                        "spans": spans[lo:hi],
+                        "n_chars": nchars[lo:hi],
+                    },
                     schema=schema,
                 )
             )
+
+    if procs > 1:
+        with mp.Pool(procs) as pool:
+            for ids, spans, nchars in pool.imap(_gen_chunk, chunks, chunksize=4):
+                _write(ids, spans, nchars)
+    else:
+        for ch in chunks:
+            ids, spans, nchars = _gen_chunk(ch)
+            _write(ids, spans, nchars)
     writer.close()

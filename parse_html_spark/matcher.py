@@ -26,6 +26,7 @@ the direct child because it re-searches a padded pseudo-element
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 import numpy as np
 
@@ -99,14 +100,21 @@ def _is_lone_id(comp: Compound) -> bool:
     )
 
 
+@lru_cache(maxsize=1024)
+def _atoms_parsable(atoms: tuple) -> bool:
+    return bool(parse_fields(build_conditions(list(atoms))))
+
+
 def _has_parsable_atom(comp: Compound) -> bool:
     """True when the compound's atoms yield >=1 parsable condition field.
     In the reference, such compounds route through getElementByAttribute
     -> validateStartTag [:756 callback, :504, :1481-1488], which enforces
     the 107-tag whitelist even on the tag-dispatched path -- so
     'blink[data-n>1]' matches nothing upstream (blink not whitelisted)
-    while bare 'blink' matches (tag scan skips validation, [:756-758])."""
-    return bool(parse_fields(build_conditions(comp.attributes)))
+    while bare 'blink' matches (tag scan skips validation, [:756-758]).
+    Memoized on the (hashable) atom tuple: plans are compiled once per
+    query, so this never recompiles conditions in the per-doc hot path."""
+    return _atoms_parsable(tuple(comp.attributes))
 
 
 def node_matches(doc: DocIndex, comp: Compound, i: int) -> bool:
