@@ -21,10 +21,27 @@ from .tokenizer import DocIndex, parse_attrs
 class PH:
     """jQuery-style selection over one HTML document."""
 
-    def __init__(self, html=None, doc: DocIndex | None = None, nodes=None):
+    def __init__(
+        self,
+        html=None,
+        doc: DocIndex | None = None,
+        nodes=None,
+        ref_compat: bool = False,
+    ):
         self._html = html
         self._doc = doc if doc is not None or html is None else DocIndex(html)
         self._nodes = nodes  # None = fresh whole-doc, [] = empty object
+        # opt-in REFERENCE-BUG-COMPATIBLE mode (SURVEY 2.11 A.8 + A.12):
+        # 'a > b' also matches b deeper inside the direct child (the
+        # reference re-searches the padded pseudo-element as descendants,
+        # ParseHTML.php:1796-1823), and bracket quoted values keep the
+        # closing quote / drop embedded spaces (:1110-1112). Default off
+        # (CSS-correct / docblock semantics); for users migrating real
+        # reference-dependent scrapers.
+        self._compat = ref_compat
+
+    def _sel(self, nodes) -> "PH":
+        return PH(self._html, self._doc, nodes, ref_compat=self._compat)
 
     # -- constructors ------------------------------------------------------
 
@@ -67,13 +84,13 @@ class PH:
     def find(self, selector: str) -> "PH":
         if self._html is None:
             return PH.empty()
-        plan = compile_selector(selector)
+        plan = compile_selector(selector, ref_compat=self._compat)
         if plan is None:
             return PH.empty()
         ids = find_nodes(self._doc, plan, self._scopes())
         if not ids:
             return PH.empty()
-        return PH(self._html, self._doc, ids)
+        return self._sel(ids)
 
     def children(self, selector: str | None = None) -> "PH":
         if self._html is None:
@@ -87,21 +104,38 @@ class PH:
                     seen.add(ch)
                     kids.append(ch)
         if selector is not None:
-            plan = compile_selector(selector)
+            plan = compile_selector(selector, ref_compat=self._compat)
             if plan is None:
                 return PH.empty()
             # descendant chains are rejected for the child filter [:366-370]
             compounds = [c[0] for c in plan if len(c) == 1]
             if not compounds:
                 return PH.empty()
-            kids = [
-                k for k in kids
-                if any(node_matches(d, comp, k) for comp in compounds)
-            ]
+            if self._compat:
+                # A.8 compat: the reference filter re-searches each
+                # child's padded pseudo-element, so the selector may
+                # match the child itself OR any of its descendants
+                # [:357-392 + :1683-1686]
+                from .matcher import _match_in_range
+
+                kids = [
+                    k for k in kids
+                    if any(
+                        _match_in_range(
+                            d, comp, int(d.start[k]), int(d.end[k])
+                        )
+                        for comp in compounds
+                    )
+                ]
+            else:
+                kids = [
+                    k for k in kids
+                    if any(node_matches(d, comp, k) for comp in compounds)
+                ]
         if not kids:
             return PH.empty()
         kids.sort(key=lambda j: int(d.start[j]))
-        return PH(self._html, d, kids)
+        return self._sel(kids)
 
     # -- traversal extensions ----------------------------------------------
     # The reference stubs prev/next/parent/parents/contents ("// Todo.",
@@ -123,7 +157,7 @@ class PH:
         if not ids:
             return PH.empty()
         ids = sorted(set(ids), key=lambda j: int(d.start[j]))
-        return PH(self._html, d, ids)
+        return self._sel(ids)
 
     def _siblings(self, offset: int, selector: str | None) -> "PH":
         d = self._doc
@@ -177,7 +211,7 @@ class PH:
             t = trim_html(self._html[pos:int(d.start[ch])])
             if t:
                 out.append(t)
-            out.append(PH(self._html, d, [ch]))
+            out.append(self._sel([ch]))
             pos = int(d.end[ch])
         t = trim_html(self._html[pos:int(d.cend[n])])
         if t:
@@ -192,7 +226,7 @@ class PH:
         ids = [n for n in (self._nodes or []) if pred(d, n)]
         if not ids:
             return PH.empty()
-        return PH(self._html, d, ids)
+        return self._sel(ids)
 
     def eq(self, index: int) -> "PH":
         if self._html is None or index < 0:
@@ -201,7 +235,7 @@ class PH:
             # fresh object behaves as the single pseudo-element {0: raw}
             return self if index == 0 else PH.empty()
         if index < len(self._nodes):
-            return PH(self._html, self._doc, [self._nodes[index]])
+            return self._sel([self._nodes[index]])
         return PH.empty()
 
     def _element_nodes(self) -> list[int]:

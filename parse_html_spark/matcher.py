@@ -174,11 +174,25 @@ def eval_chain(
         out: list[int] = []
         seen: set[int] = set()
         if comp.direct and nodes is not None:
-            for nd in nodes:
-                for ch in doc.children_of(nd):
-                    if ch not in seen and node_matches(doc, comp, ch):
-                        seen.add(ch)
-                        out.append(ch)
+            if comp.ref_requery:
+                # A.8 ref-compat: the reference re-searches each direct
+                # child's padded pseudo-element as DESCENDANTS, so the
+                # step matches the child itself or anything inside it
+                # [ParseHTML.php:1796-1823]
+                for nd in nodes:
+                    for ch in doc.children_of(nd):
+                        for j in _match_in_range(
+                            doc, comp, int(doc.start[ch]), int(doc.end[ch])
+                        ):
+                            if j not in seen:
+                                seen.add(j)
+                                out.append(j)
+            else:
+                for nd in nodes:
+                    for ch in doc.children_of(nd):
+                        if ch not in seen and node_matches(doc, comp, ch):
+                            seen.add(ch)
+                            out.append(ch)
         else:
             ranges = (
                 scopes

@@ -231,14 +231,22 @@ def extract_docs(df):
     )
 
 
-def select_spans(df, selector: str, mode: str = "text", attr_name: str | None = None):
+def select_spans(
+    df,
+    selector: str,
+    mode: str = "text",
+    attr_name: str | None = None,
+    ref_compat: bool = False,
+):
     """Run a CSS selector over every document; one output row per match.
 
     mode: 'text' | 'html' | 'attr' (attr_name required for 'attr').
-    The selector is compiled ONCE on the driver and closure-captured."""
+    The selector is compiled ONCE on the driver and closure-captured
+    (ref_compat=True compiles in reference-bug-compatible mode,
+    SURVEY 2.11 A.8/A.12)."""
     import pandas as pd
 
-    plan = compile_selector(selector)
+    plan = compile_selector(selector, ref_compat=ref_compat)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -270,7 +278,9 @@ def select_spans(df, selector: str, mode: str = "text", attr_name: str | None = 
     return _map_in_pandas(df, run, MATCH_SCHEMA)
 
 
-def select_spans_multi(df, selectors: dict[str, str], mode: str = "text"):
+def select_spans_multi(
+    df, selectors: dict[str, str], mode: str = "text", ref_compat: bool = False
+):
     """Run MANY selectors in one pass: the document is tokenized once
     and every compiled plan is evaluated against the same node index --
     amortizing the tokenizer across queries is the right shape when a
@@ -280,7 +290,8 @@ def select_spans_multi(df, selectors: dict[str, str], mode: str = "text"):
     import pandas as pd
 
     plans = {
-        name: compile_selector(sel) for name, sel in selectors.items()
+        name: compile_selector(sel, ref_compat=ref_compat)
+        for name, sel in selectors.items()
     }
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

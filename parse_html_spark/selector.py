@@ -48,6 +48,10 @@ class Compound:
     direct: bool = False
     tag: str | None = None
     attributes: list[Atom] = field(default_factory=list)
+    # ref-compat A.8: a direct-child step ALSO matches deeper descendants
+    # of the direct child (the reference re-searches the padded
+    # pseudo-element as descendants, ParseHTML.php:1796-1823)
+    ref_requery: bool = False
 
     @property
     def is_empty(self) -> bool:
@@ -61,8 +65,16 @@ SelectorPlan = list[list[Compound]]
 _INIT, _TAG, _VALUE, _BR_NAME, _BR_OP, _BR_VALUE = range(6)
 
 
-def compile_selector(selector: str) -> SelectorPlan | None:
-    """Compile a selector; returns None when the selector is invalid."""
+def compile_selector(selector: str, ref_compat: bool = False) -> SelectorPlan | None:
+    """Compile a selector; returns None when the selector is invalid.
+
+    ref_compat=True enables the opt-in REFERENCE-BUG-COMPATIBLE mode for
+    the two documented selector divergences (SURVEY 2.11): A.12 --
+    bracket quoted values keep the CLOSING quote and drop embedded
+    spaces, exactly as the reference CODE does [:1110-1112] (so
+    '[href="x"]' compiles to value 'x\"' and effectively never matches);
+    and A.8 -- compounds are flagged ref_requery so direct-child steps
+    re-search descendants (see matcher.eval_chain)."""
     s = selector.strip()
     if not s:
         return None
@@ -144,6 +156,11 @@ def compile_selector(selector: str) -> SelectorPlan | None:
         elif step == _BR_VALUE:
             if typ == "std":
                 a_value += ch
+            elif ref_compat and typ == "space":
+                pass  # A.12 compat: reference has no space branch
+            elif ref_compat and typ == "meta" and ch == quote:
+                a_value += ch  # A.12 compat: closing quote kept in value
+                quote = ""
             elif typ == "meta" and ch in ("\"", "'") and ch != quote:
                 a_value += ch
             elif typ == "meta" and ch == quote:
@@ -229,4 +246,8 @@ def compile_selector(selector: str) -> SelectorPlan | None:
 
     if not plan:
         return None
+    if ref_compat:
+        for chain in plan:
+            for comp in chain:
+                comp.ref_requery = True
     return plan

@@ -185,3 +185,41 @@ def test_tag_with_attrs_enforces_whitelist():
     assert len(PH(doc).find("blink[data-n>1]")) == 0  # whitelist enforced
     assert len(PH(doc).find("p[data-n>1]")) == 1  # whitelisted tag passes
     assert len(PH(doc).find('blink[data-n="5"]')) == 0
+
+
+def test_ref_compat_mode_direct_child_requery():
+    """Opt-in A.8 bug-compat: 'div > a' also matches 'a' DEEPER inside
+    the direct child (the reference re-searches the padded pseudo-element
+    as descendants, ParseHTML.php:1796-1823); default mode is
+    CSS-correct. Same fixture, both modes compared."""
+    doc = '<div><ul><li><a href="/deep">D</a></li></ul><a href="/top">T</a></div>'
+    plain = PH(doc).find("div > a")
+    assert [plain.eq(i).text() for i in range(len(plain))] == ["T"]
+    compat = PH(doc, ref_compat=True).find("div > a")
+    got = [compat.eq(i).text() for i in range(len(compat))]
+    assert got == ["D", "T"]  # document order: deep link first
+
+
+def test_ref_compat_mode_children_filter_descendants():
+    doc = '<div><ul><li class="x">L</li></ul><p class="x">P</p></div>'
+    kids = PH(doc).find("div").children(".x")
+    assert [kids.eq(i).text() for i in range(len(kids))] == ["P"]
+    kids_c = PH(doc, ref_compat=True).find("div").children(".x")
+    # compat: the ul child is kept because a .x DESCENDANT matches it
+    got = [kids_c.eq(i).text() for i in range(len(kids_c))]
+    assert got == ["L", "P"]
+
+
+def test_ref_compat_mode_quoted_values():
+    """Opt-in A.12 bug-compat: closing quote kept in the value (so the
+    quoted selector never matches a well-formed attribute) and embedded
+    spaces dropped; default consumes the quote and keeps spaces."""
+    from parse_html_spark.selector import compile_selector
+
+    doc = '<a href="x" title="a b">T</a>'
+    assert len(PH(doc).find('[href="x"]')) == 1
+    assert len(PH(doc, ref_compat=True).find('[href="x"]')) == 0  # value x"
+    assert len(PH(doc).find('[title="a b"]')) == 1
+    compat = compile_selector('[title="a b"]', ref_compat=True)
+    assert compat[0][0].attributes[0].value == 'ab"'  # spaces dropped + quote
+    assert len(PH(doc, ref_compat=True).find('[title="a b"]')) == 0
