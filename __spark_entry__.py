@@ -485,6 +485,31 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs).select("doc_id", "cluster")
 
 
+def _q_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: multi-table hyperplane-LSH
+    candidates verified by exact cosine. ORACLE-GRADE like minhash_pairs:
+    planted perturbed copies sit at cosine ~0.99998 (missed by all 8
+    tables w.p. ~1e-15) while the max cross pair is ~0.38, so the
+    verified output equals ALL pairs with cosine >= 0.95 -- which DuckDB
+    computes exactly."""
+    from parse_html_spark.functions.similarity import embedding_near_duplicates
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 40)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    near = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.01)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    both = emb.unionByName(near)
+    return embedding_near_duplicates(both, dim=64, min_cosine=0.95)
+
+
 def _q_node_counts(spark, sf_dir):
     """Exploded node table: per-doc tag histogram (relational form)."""
     from parse_html_spark.pipeline import node_table
@@ -605,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "dup_clusters": _q_dup_clusters,
+        "embed_near_dup": _q_embed_near_dup,
         "node_counts": _q_node_counts,
         "node_descendants": _q_node_descendants,
         "events_window": _q_events_window,
@@ -800,6 +826,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst) "
             "SELECT src AS doc_id, min(dst) AS cluster FROM reach "
             "GROUP BY src"
+        ),
+        "embed_near_dup": (
+            "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings WHERE vec_id < 40 "
+            "UNION ALL SELECT vec_id + 100000, "
+            "[CAST(embedding[1] AS DOUBLE) + 0.01] || "
+            "CAST(embedding[2:] AS DOUBLE[]) "
+            "FROM embeddings WHERE vec_id < 40) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.v, b.v), 4) AS cosine "
+            "FROM base a JOIN base b ON a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95"
         ),
         "cosine_topk": (
             "SELECT vec_id, round(list_cosine_similarity("

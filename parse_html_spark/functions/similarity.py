@@ -183,3 +183,76 @@ def lsh_cosine_topk(
     bucketed = df.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
     cand = bucketed.filter(F.col("_bucket") == qb)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    dim: int,
+    tables: int = 8,
+    bits: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) colliding in >= 1 of
+    ``tables`` independent random-hyperplane sign buckets. The multi-
+    table OR drives recall toward 1 for near-identical vectors (a pair
+    at angle theta agrees on one table w.p. (1 - theta/pi)^bits and is
+    missed by all tables w.p. (1 - (1-theta/pi)^bits)^tables). Shuffles
+    only (table, bucket, id) tuples -- never vectors, never all-pairs."""
+    vec = F.col(vec_col)
+    buckets = F.array(
+        *[
+            lsh_bucket_col(vec, _hyperplanes(dim, bits, seed + 1000 * t))
+            for t in range(tables)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col), F.posexplode(buckets).alias("tbl", "bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    min_cosine: float = 0.95,
+    tables: int = 8,
+    bits: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table hyperplane-LSH
+    candidates VERIFIED by exact cosine -- the embedding twin of
+    dedup.minhash_near_duplicates (bucket first, verify within buckets,
+    never all-pairs). Exact cosine is computed only for candidate pairs
+    after two id equi-joins pull their vectors; everything is JVM-side
+    Column exprs. Output: (id_a, id_b, cosine >= min_cosine)."""
+    pairs = lsh_candidate_pairs(
+        df, dim, tables=tables, bits=bits, vec_col=vec_col,
+        id_col=id_col, seed=seed,
+    )
+    t = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    a = t.select(F.col("_vid").alias("id_a"), F.col("_v").alias("_va"))
+    b = t.select(F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"))
+    cos = F.round(cosine_col(F.col("_va"), F.col("_vb")), 4)
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -288,3 +288,30 @@ def test_token_jaccard_max_df_bounds_hot_tokens(spark):
     capped = token_jaccard_pairs(df, min_jaccard=0.01, max_df=10).collect()
     assert len(capped) == 90
     assert all(r["jaccard"] == 1.0 for r in capped)
+
+
+def test_embedding_near_duplicates_recall_precision(spark):
+    """Embedding-cosine near-dup: planted perturbed copies are all
+    recalled through multi-table hyperplane LSH; nothing below the
+    cosine threshold is emitted."""
+    from parse_html_spark.functions.similarity import embedding_near_duplicates
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 20)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    near = emb.select(
+        (F.col("vec_id") + 500).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.01)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    both = emb.unionByName(near)
+    got = embedding_near_duplicates(both, dim=64, min_cosine=0.95).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert {(i, i + 500) for i in range(20)} <= pairs  # full recall
+    assert all(r["cosine"] >= 0.95 for r in got)  # verified threshold
