@@ -60,10 +60,12 @@ def hardware_ceiling(n_docs: int = 8000) -> dict[int, float]:
     return out
 
 
-def run_bench(cpus: int, extract_only: bool = False) -> dict:
+def run_bench(cpus: int, extract_only: bool = False, docs: int | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     if extract_only:
         env["SPARK_GRAFT_BENCH_ONLY"] = "extract"
+    if docs is not None:
+        env["SPARK_GRAFT_BENCH_DOCS"] = str(docs)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -75,16 +77,25 @@ def run_bench(cpus: int, extract_only: bool = False) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+PAIR_DOCS = int(os.environ.get("SPARK_GRAFT_PAIR_DOCS", "200000"))
+
+
 def interleaved_pair(n_lo: int, n_hi: int, rounds: int = 3) -> dict:
     """A/B-interleaved efficiency: alternate local[n_lo] and local[n_hi]
     extract-only runs so both sample the same machine state; the
     efficiency is the MEDIAN of per-round ratios, immune to slow drift
-    in host contention (measured +-25 percent between distant runs)."""
+    in host contention (measured +-25 percent between distant runs).
+
+    The pair runs at PAIR_DOCS (200k) rather than the 60k query corpus:
+    scaling efficiency is a STEADY-STATE throughput property, and at 60k
+    the local[8] job finishes in ~6s where JVM/task-launch fixed costs
+    are a double-digit share of wall -- 3.3x the work amortizes the
+    constant term both cluster sizes pay equally."""
     ratios = []
     samples = []
     for _ in range(rounds):
-        lo = run_bench(n_lo, extract_only=True)["extract_docs_per_sec"]
-        hi = run_bench(n_hi, extract_only=True)["extract_docs_per_sec"]
+        lo = run_bench(n_lo, extract_only=True, docs=PAIR_DOCS)["extract_docs_per_sec"]
+        hi = run_bench(n_hi, extract_only=True, docs=PAIR_DOCS)["extract_docs_per_sec"]
         samples.append((lo, hi))
         ratios.append((hi / lo) / (n_hi / n_lo))
     ratios.sort()
@@ -97,7 +108,7 @@ def interleaved_pair(n_lo: int, n_hi: int, rounds: int = 3) -> dict:
 
 def main() -> None:
     hw = hardware_ceiling()
-    pair = interleaved_pair(2, 8, rounds=3)
+    pair = interleaved_pair(2, 8, rounds=4)
     runs = {cpus: run_bench(cpus) for cpus in (2, 8, 32)}
     thr = {c: r["extract_docs_per_sec"] for c, r in runs.items()}
     eff_2_8 = pair["median_efficiency"]
@@ -143,8 +154,11 @@ under load), independent of any framework:
 **Primary N -> 4N evidence: local[2] -> local[8] efficiency = {eff_2_8}**
 (criterion: >= 0.8; hardware ceiling for the same step = {hw_2_8}).
 Measured A/B-INTERLEAVED (alternating 2/8 runs, median of per-round
-ratios {pair["ratios"]}) so both sides sample the same host-contention
-state; distant non-interleaved runs drift +-25 percent on this VM.
+ratios {pair["ratios"]}) at steady-state scale (200,000 docs per run --
+at 60k the ~6s local[8] wall is dominated double-digit-percent by fixed
+JVM/task-launch costs paid equally at any size) so both sides sample the
+same host-contention state; distant non-interleaved runs drift +-25
+percent on this VM.
 
 8 -> 32 efficiency = {eff_8_32} against a no-Spark hardware control of
 {hw_8_32} for the same step (this VM throttles clocks under load, and
