@@ -485,6 +485,22 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs).select("doc_id", "cluster")
 
 
+def _q_page_full(spark, sf_dir):
+    """The production one-pass job shape (extract_page: tokenize once,
+    all extractors share the node index) oracle-checked end to end on
+    its scalar outputs (title, node count, tables JSON, form JSON)."""
+    from parse_html_spark.pipeline import extract_page
+
+    out = extract_page(_doc_spans(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "title",
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        "tables_json",
+        "form_json",
+    )
+
+
 def _q_embed_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup dedup: multi-table hyperplane-LSH
     candidates verified by exact cosine. ORACLE-GRADE like minhash_pairs:
@@ -631,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "dup_clusters": _q_dup_clusters,
         "embed_near_dup": _q_embed_near_dup,
+        "page_full": _q_page_full,
         "node_counts": _q_node_counts,
         "node_descendants": _q_node_descendants,
         "events_window": _q_events_window,
@@ -826,6 +843,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst) "
             "SELECT src AS doc_id, min(dst) AS cluster FROM reach "
             "GROUP BY src"
+        ),
+        "page_full": (
+            "SELECT doc_id, 'T' || doc_id AS title, "
+            "CAST(21 AS BIGINT) AS n_nodes, "
+            "'[[\"' || lang || '\", \"' || source || '\"]]' AS tables_json, "
+            "'{\"lang\": \"' || lang || '\", \"source\": \"' || source "
+            "|| '\", \"go\": \"S\"}' AS form_json FROM documents"
         ),
         "embed_near_dup": (
             "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "

@@ -244,24 +244,25 @@ def simhash_near_pairs(
         ).alias("chunk", "chunk_val"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+    joined = a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    # filter BEFORE the dedup shuffle: the Hamming test is free at the
+    # join output, and only surviving pairs pay the distinct exchange
+    return (
+        joined.filter(hamming <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming.cast("int").alias("hamming"),
         )
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.filter(hamming <= max_hamming).select(
-        "id_a", "id_b", hamming.cast("int").alias("hamming")
     )
 
 
