@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The Spark-side plumbing (schemas, Arrow batch shapes, partitioning) is
-real and tested; the actual codec step is STUBBED because image/audio
-libraries are not available in this environment. Set fake=True for a
-deterministic stand-in (crc32-derived features) so pipelines and tests
-run end-to-end; fake=False raises NotImplementedError inside the UDF,
-marking exactly where a real decoder (PIL/ffmpeg) plugs in.
+The Spark-side plumbing (schemas, Arrow batch shapes, partitioning,
+fan-out) is real and tested. The codec layer is REAL for every format
+decodable with stdlib + numpy -- PNG (zlib + unfiltering), PPM, and
+16-bit PCM WAV, implemented in functions/codecs.py -- including real
+nearest-neighbor resizing and real pixel/sample statistics features.
+Formats that require external libraries (JPEG, MP4/video containers)
+raise NotImplementedError at the documented plug point when fake=False.
+
+fake=True keeps the deterministic crc32-derived stand-in for every
+format, so pipelines and tests run end-to-end on arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -38,29 +42,51 @@ RESIZE_SCHEMA = "media_ref string, width int, height int, payload binary"
 FRAME_SCHEMA = "media_ref string, frame_idx int, ts_ms int, payload binary"
 
 
+def _decode_image(data: bytes):
+    """Real decode for stdlib-decodable images; NotImplementedError at
+    the external-decoder plug point otherwise."""
+    from . import codecs
+
+    kind = codecs.sniff(data)
+    if kind == "png":
+        return codecs.decode_png(data)
+    if kind == "ppm":
+        return codecs.decode_ppm(data)
+    raise NotImplementedError(
+        f"decoding {kind!r} requires an external library (PIL/ffmpeg); "
+        "PNG/PPM decode here is real (functions/codecs.py)"
+    )
+
+
 def resize_images(df, width: int, height: int, fake: bool = True):
-    """mapInPandas resize over (media_ref, payload). Decode/encode is
-    STUBBED (no PIL here): fake=True emits a deterministic payload
-    derived from the input bytes + target size; fake=False raises at
-    the decoder plug point. Batch shape and schema are the real ones."""
+    """mapInPandas resize over (media_ref, payload).
+
+    fake=False does REAL work for PNG/PPM payloads: decode
+    (zlib+unfilter), exact nearest-neighbor resample, re-encode as PNG.
+    fake=True emits a deterministic payload derived from the input bytes
+    + target size (any format). Batch shape and schema are identical in
+    both modes."""
     import pandas as pd
 
     def run(batches):
+        from . import codecs
+
         for pdf in batches:
             refs, ws, hs, outs = [], [], [], []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "image resize requires PIL; not available here"
-                    )
                 data = bytes(payload) if payload is not None else b""
-                crc = zlib.crc32(data) & 0xFFFFFFFF
+                if fake:
+                    crc = zlib.crc32(data) & 0xFFFFFFFF
+                    out = f"resized:{width}x{height}:{crc:08x}".encode("ascii")
+                else:
+                    arr = _decode_image(data)
+                    out = codecs.encode_png(
+                        codecs.resize_nearest(arr, width, height)
+                    )
                 refs.append(ref)
                 ws.append(width)
                 hs.append(height)
-                outs.append(
-                    f"resized:{width}x{height}:{crc:08x}".encode("ascii")
-                )
+                outs.append(out)
             yield pd.DataFrame(
                 {
                     "media_ref": refs,
@@ -75,8 +101,10 @@ def resize_images(df, width: int, height: int, fake: bool = True):
 
 def sample_frames(df, every_ms: int = 1000, duration_ms: int = 5000, fake: bool = True):
     """Frame sampling for video payloads: one output row per sampled
-    frame (fan-out inside mapInPandas). Decode is stubbed; the frame
-    schedule and row explosion are real."""
+    frame (fan-out inside mapInPandas). The frame schedule and row
+    explosion are real; video container decode genuinely requires
+    ffmpeg, so fake=False raises at the plug point (no stdlib-decodable
+    video format exists to make this path real in-sandbox)."""
     import pandas as pd
 
     def run(batches):
@@ -109,31 +137,45 @@ def sample_frames(df, every_ms: int = 1000, duration_ms: int = 5000, fake: bool 
 def extract_media_features(df, fake: bool = True, dim: int = 8):
     """mapInPandas over (media_ref, payload:binary) -> FEATURE_SCHEMA.
 
-    Real decode is stubbed: fake=True emits deterministic crc32-seeded
-    features; fake=False raises NotImplementedError (decoder plug point).
+    fake=False computes REAL features for stdlib-decodable payloads:
+    per-channel mean/std + luminance histogram for PNG/PPM images,
+    RMS/zero-crossing/duration/band-energy for 16-bit PCM WAV audio
+    (functions/codecs.py). JPEG/video raise at the plug point.
+    fake=True emits deterministic crc32-seeded features for any bytes.
     """
     import numpy as np
     import pandas as pd
 
     def run(batches):
+        from . import codecs
+
         for pdf in batches:
             refs, types, nbytes, sums, feats = [], [], [], [], []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "real media decode requires PIL/ffmpeg; "
-                        "not available in this environment"
-                    )
                 data = bytes(payload) if payload is not None else b""
                 crc = zlib.crc32(data) & 0xFFFFFFFF
-                rng = np.random.RandomState(crc % (2**31))
+                if fake:
+                    rng = np.random.RandomState(crc % (2**31))
+                    mtype = "image" if "img" in (ref or "") else "embed"
+                    feat = rng.rand(dim).astype("float32").tolist()
+                else:
+                    kind = codecs.sniff(data)
+                    if kind in ("png", "ppm"):
+                        mtype = "image"
+                        feat = codecs.image_features(_decode_image(data), dim)
+                    elif kind == "wav":
+                        mtype = "audio"
+                        feat = codecs.audio_features(*codecs.decode_wav(data), dim=dim)
+                    else:
+                        raise NotImplementedError(
+                            f"decoding {kind!r} requires PIL/ffmpeg; "
+                            "PNG/PPM/WAV features here are real"
+                        )
                 refs.append(ref)
-                types.append(
-                    "image" if "img" in (ref or "") else "embed"
-                )
+                types.append(mtype)
                 nbytes.append(len(data))
                 sums.append(crc)
-                feats.append(rng.rand(dim).astype("float32").tolist())
+                feats.append(feat)
             yield pd.DataFrame(
                 {
                     "media_ref": refs,

@@ -1,0 +1,175 @@
+"""REAL media codecs (stdlib+numpy): PNG/PPM/WAV round-trips, all PNG
+scanline filters, real resize + features, and the Spark-level fake=False
+paths doing genuine pixel/sample work."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from parse_html_spark.functions.codecs import (
+    PNG_SIG,
+    audio_features,
+    decode_png,
+    decode_ppm,
+    decode_wav,
+    encode_png,
+    encode_ppm,
+    encode_wav,
+    image_features,
+    resize_nearest,
+    sniff,
+)
+
+
+def _img(h=13, w=17, ch=3, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+def test_png_roundtrip_rgb_rgba_gray():
+    for ch in (1, 2, 3, 4):
+        a = _img(ch=ch, seed=ch)
+        out = decode_png(encode_png(a))
+        assert out.shape == a.shape and (out == a).all()
+
+
+def _apply_filter(ftype, line, prev, ch):
+    """Forward PNG filter (encoder side) to craft test scanlines."""
+    out = np.empty_like(line)
+    for x in range(len(line)):
+        a = int(line[x - ch]) if x >= ch else 0
+        b = int(prev[x])
+        c = int(prev[x - ch]) if x >= ch else 0
+        if ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[x] = (int(line[x]) - pred) & 0xFF
+    return out
+
+
+def test_png_all_filters_decode():
+    """Craft a PNG whose rows use filters 1..4 and verify the decoder
+    reconstructs the original pixels exactly."""
+    a = _img(h=4, w=9, ch=3, seed=42)
+    flat = a.reshape(4, 27)
+    raw = bytearray()
+    prev = np.zeros(27, dtype=np.uint8)
+    for y, ftype in enumerate((1, 2, 3, 4)):
+        raw.append(ftype)
+        raw.extend(_apply_filter(ftype, flat[y], prev, 3).tobytes())
+        prev = flat[y]
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    png = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == a).all()
+
+
+def test_ppm_roundtrip_and_comments():
+    a = _img(ch=3)
+    assert (decode_ppm(encode_ppm(a)) == a).all()
+    with_comment = b"P6\n# a comment\n3 2\n255\n" + bytes(range(18))
+    out = decode_ppm(with_comment)
+    assert out.shape == (2, 3, 3)
+    assert out.flatten().tolist() == list(range(18))
+
+
+def test_wav_roundtrip():
+    rng = np.random.RandomState(3)
+    pcm = rng.randint(-30000, 30000, size=(800, 2), dtype=np.int16)
+    out, rate = decode_wav(encode_wav(pcm, 8000))
+    assert rate == 8000 and (out == pcm).all()
+
+
+def test_resize_nearest_exact():
+    a = _img(h=8, w=8)
+    up = resize_nearest(a, 16, 16)
+    assert up.shape == (16, 16, 3)
+    assert (up[::2, ::2] == a).all()  # every source pixel survives 2x
+    assert (resize_nearest(a, 8, 8) == a).all()  # identity
+    down = resize_nearest(a, 4, 4)
+    assert (down == a[::2, ::2]).all()
+
+
+def test_real_features_are_signal_not_hash():
+    bright = np.full((6, 6, 3), 250, dtype=np.uint8)
+    dark = np.full((6, 6, 3), 5, dtype=np.uint8)
+    fb, fd = image_features(bright), image_features(dark)
+    assert fb[0] > fd[0]  # first channel mean dominates when brighter
+    loud = (20000 * np.ones((400, 1))).astype(np.int16)
+    quiet = (200 * np.ones((400, 1))).astype(np.int16)
+    assert audio_features(loud, 8000)[0] > audio_features(quiet, 8000)[0]
+
+
+def test_sniff():
+    assert sniff(encode_png(_img())) == "png"
+    assert sniff(encode_ppm(_img())) == "ppm"
+    assert sniff(encode_wav(np.zeros(4, dtype=np.int16), 8000)) == "wav"
+    assert sniff(b"\xff\xd8\xff\xe0junk") == "jpeg"
+    assert sniff(b"whatever") == "unknown"
+
+
+def test_spark_real_resize_and_features(spark):
+    from parse_html_spark.functions.media import (
+        extract_media_features,
+        resize_images,
+    )
+
+    imgs = {f"img-{i}": encode_png(_img(seed=i)) for i in range(3)}
+    wavs = {
+        "aud-0": encode_wav(
+            (np.sin(np.linspace(0, 60, 1600)) * 20000).astype(np.int16), 8000
+        )
+    }
+    rows = [(k, bytearray(v)) for k, v in {**imgs, **wavs}.items()]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+
+    resized = {
+        r["media_ref"]: bytes(r["payload"])
+        for r in resize_images(
+            df.filter("media_ref like 'img%'"), 5, 4, fake=False
+        ).collect()
+    }
+    for k, v in resized.items():
+        arr = decode_png(v)  # REAL PNG out
+        assert arr.shape == (4, 5, 3)
+        src = decode_png(imgs[k])
+        assert (arr == resize_nearest(src, 5, 4)).all()
+
+    feats = {
+        r["media_ref"]: (r["media_type"], r["feature"])
+        for r in extract_media_features(df, fake=False).collect()
+    }
+    assert feats["aud-0"][0] == "audio"
+    assert all(feats[f"img-{i}"][0] == "image" for i in range(3))
+    # features are the real pixel stats, not a hash of the bytes
+    t, f = feats["img-0"]
+    src = decode_png(imgs["img-0"])
+    assert f == pytest.approx(image_features(src), abs=1e-6)
+
+
+def test_spark_fake_false_raises_on_external_formats(spark):
+    from parse_html_spark.functions.media import extract_media_features
+
+    df = spark.createDataFrame(
+        [("j", bytearray(b"\xff\xd8\xff\xe0rest"))],
+        "media_ref string, payload binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PIL|ffmpeg"):
+        extract_media_features(df, fake=False).collect()
