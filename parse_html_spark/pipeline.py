@@ -32,10 +32,18 @@ SPAN_SCHEMA = (
 MATCH_SCHEMA = "doc_id string, match_order int, value string"
 
 
-def _map_in_pandas(df, run, schema):
+def _map_in_pandas(df, run, schema, inputs=("doc_id", "spans")):
+    """mapInPandas with COLUMN PRUNING at the Python boundary: only the
+    columns the stage reads cross the Arrow bridge. mapInPandas itself
+    cannot tell Catalyst which columns it uses, so without this a wide
+    input table (ingest metadata, lineage columns, ...) would be
+    serialized into every Python worker for nothing."""
     from .session import ensure_py_files
 
     ensure_py_files(df.sparkSession)
+    need = [c for c in inputs if c in df.columns]
+    if len(need) == len(inputs) and len(df.columns) > len(need):
+        df = df.select(*need)
     return df.mapInPandas(run, schema=schema)
 
 
@@ -619,19 +627,27 @@ def prepare_partitions(
     return small.unionByName(big)
 
 
-def write_bucketed(df, path: str, buckets: int = 8) -> None:
+def write_bucketed(df, path: str, buckets: int = 8, size_col: str = "n_chars") -> None:
     """Materialize a span-doc table partitioned by deterministic doc_id
     hash bucket (directory layout bucket=N/). Resume jobs over this
     layout get TRUE partition pruning: pending buckets are selected by
-    path, and completed buckets' bytes are never read."""
+    path, and completed buckets' bytes are never read.
+
+    When the ingest size column is present, rows are additionally SIZE-
+    CLUSTERED within each bucket (sortWithinPartitions on size): megas
+    sort to the file tail, so row-group min/max stats isolate them and
+    prepare_partitions' skew split prunes at read time -- the parquet
+    stand-in for an Iceberg sort-order spec."""
     from pyspark.sql import functions as F
 
-    (
-        df.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)))
-        .write.partitionBy("bucket")
-        .mode("overwrite")
-        .parquet(path)
+    out = df.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets))
     )
+    if size_col in df.columns:
+        out = out.repartition(buckets, "bucket").sortWithinPartitions(
+            "bucket", size_col
+        )
+    out.write.partitionBy("bucket").mode("overwrite").parquet(path)
 
 
 def run_resumable(
