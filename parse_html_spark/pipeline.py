@@ -663,7 +663,9 @@ def run_resumable(
     Work units are deterministic hash buckets of doc_id (stable across
     cluster sizes and retries). Completed buckets are recorded in
     <output_dir>/_manifest.json and skipped on rerun; per-bucket metrics
-    rows go to <output_dir>/_metrics/. Output is idempotent: each bucket
+    commit as immutable snapshots of the <output_dir>/_metrics_wh
+    warehouse table (Iceberg stand-in: atomic manifest, lineage,
+    time travel). Output is idempotent: each bucket
     writes its own subdirectory with mode=overwrite.
 
     bucketed_input=True expects a write_bucketed() layout and reads ONLY
@@ -716,5 +718,16 @@ def run_resumable(
         mdf = spark.createDataFrame(
             metrics_rows, "bucket int, n_spans long, wall_sec double"
         )
-        mdf.write.mode("append").parquet(os.path.join(output_dir, "_metrics"))
+        # metrics go to the snapshot-manifest warehouse (Iceberg stand-in,
+        # sources/warehouse.py): each resume leg commits ONE immutable
+        # snapshot whose lineage records which buckets it covered, so the
+        # metrics table is itself time-travelable and atomically visible
+        from .sources.warehouse import Warehouse
+
+        wh = Warehouse(spark, os.path.join(output_dir, "_metrics_wh"))
+        wh.append(
+            mdf,
+            "extraction_metrics",
+            lineage={"input": input_path, "buckets": [r[0] for r in metrics_rows]},
+        )
     return os.path.join(output_dir, "bucket=*")

@@ -297,3 +297,35 @@ def test_prepare_partitions_ingest_size_pushdown(spark, corpus):
     }
     want = {tuple(r) for r in extract_spans(legacy).collect()}
     assert got == want
+
+
+def test_resumable_metrics_in_warehouse(spark, tmp_path):
+    """Per-bucket extraction metrics land in the snapshot-manifest
+    warehouse (Iceberg stand-in): one immutable snapshot per resume leg,
+    lineage recording the covered buckets, time travel across legs."""
+    import json
+
+    from parse_html_spark.sources.warehouse import Warehouse
+
+    src = str(tmp_path / "in.parquet")
+    write_corpus_parquet(src, 20)
+    out = str(tmp_path / "out")
+    run_resumable(spark, src, out, buckets=4, partitions=4)
+    wh = Warehouse(spark, os.path.join(out, "_metrics_wh"))
+    snaps = wh.snapshots("extraction_metrics")
+    assert len(snaps) == 1
+    assert sorted(snaps[0]["lineage"]["buckets"]) == [0, 1, 2, 3]
+    m = wh.read("extraction_metrics")
+    assert m.count() == 4
+    assert m.agg({"n_spans": "sum"}).first()[0] > 0
+
+    # rewind two buckets and resume: metrics append as a SECOND snapshot
+    man_path = os.path.join(out, "_manifest.json")
+    man = json.load(open(man_path))
+    man["done"] = man["done"][:2]
+    json.dump(man, open(man_path, "w"))
+    run_resumable(spark, src, out, buckets=4, partitions=4)
+    snaps2 = wh.snapshots("extraction_metrics")
+    assert len(snaps2) == 2
+    assert wh.read("extraction_metrics").count() == 6  # 4 + 2 resumed
+    assert wh.read("extraction_metrics", as_of=0).count() == 4  # time travel
