@@ -129,3 +129,27 @@ def test_text_equals_concatenated_words(tree):
     ph = PH(html)
     d = DocIndex(html)
     assert ph.text() == d.text_between(0, len(html))
+
+
+@given(html_tree(), st.sampled_from(TAGS), st.sampled_from(TAGS))
+@settings(max_examples=60, deadline=None)
+def test_ref_compat_direct_child_is_superset(tree, outer, inner):
+    """Compat A.8 invariant: for any 'X > Y', the reference-compatible
+    match set is a SUPERSET of the CSS-correct one, and equals the
+    CSS-correct descendants-of-direct-children set."""
+    html, _ = tree
+    sel = f"{outer} > {inner}"
+    css = set(PH(html).find(sel).nodes)
+    compat = set(PH(html, ref_compat=True).find(sel).nodes)
+    assert css <= compat
+    # independent oracle: Y anywhere inside (or equal to) a direct child
+    d = DocIndex(html)
+    want = set()
+    for x in range(d.n):
+        if d.tag[x] != outer:
+            continue
+        for ch in d.children_of(x):
+            for j in range(d.n):
+                if d.tag[j] == inner and d.start[ch] <= d.start[j] < d.end[ch]:
+                    want.add(j)
+    assert compat == want
