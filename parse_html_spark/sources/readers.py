@@ -1,0 +1,164 @@
+"""Span-document source readers: parquet (native), JSONL, and WARC.
+
+The canonical input is the parquet span-doc table (BASELINE.json
+input_hint). Real web-scale corpora additionally arrive as:
+
+- JSONL: one {"doc_id": ..., "spans": [...]} object per line --
+  spark.read.json with the explicit schema (never schema inference at
+  100 TB: one pass saved, and a malformed line cannot silently widen a
+  column type).
+- WARC (ISO 28500): the standard web-crawl archive format
+  (Common-Crawl-style). Parsed here with a pure-Python record splitter
+  over ``binaryFile`` rows inside mapInPandas -- each 'response' record
+  becomes a single-text-span document whose doc_id is the WARC-Target-URI
+  (+ record offset for uniqueness). Gzip members (the usual .warc.gz
+  member-per-record layout) are handled by stdlib zlib multi-member
+  decompression.
+
+Scale note: binaryFile materializes one whole archive per task, which is
+the standard unit for WARC (Common Crawl ships ~1 GB files; one file per
+task is exactly how Hadoop/Spark WARC pipelines shard). Parallelism
+comes from the number of archives, which at crawl scale is millions.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+SPAN_DOC_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>, n_chars long"
+)
+
+
+def read_span_docs_jsonl(spark, path: str):
+    """JSONL span-docs with the pinned schema (no inference pass)."""
+    df = spark.read.schema(SPAN_DOC_SCHEMA).json(path)
+    return df
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (stdlib only)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out.extend(d.decompress(data[pos:]))
+        out.extend(d.flush())
+        tail = d.unused_data
+        if not tail:
+            break
+        pos = len(data) - len(tail)
+    return bytes(out)
+
+
+def parse_warc_records(data: bytes):
+    """Yield (headers: dict, body: bytes, offset: int) per WARC record.
+
+    Pure-Python WARC/1.x splitter: records are 'WARC/1.' header blocks
+    terminated by CRLFCRLF with an exact Content-Length body, separated
+    by CRLFCRLF. Tolerates trailing junk between records."""
+    pos = 0
+    n = len(data)
+    while True:
+        start = data.find(b"WARC/1.", pos)
+        if start < 0:
+            return
+        hdr_end = data.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in data[start:hdr_end].split(b"\r\n")[1:]:
+            if b":" in line:
+                k, v = line.split(b":", 1)
+                headers[k.decode("latin-1").strip().lower()] = (
+                    v.decode("latin-1").strip()
+                )
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            length = 0
+        body_start = hdr_end + 4
+        body = data[body_start : body_start + length]
+        yield headers, body, start
+        pos = body_start + length
+        if pos >= n:
+            return
+
+
+def _http_payload(body: bytes) -> bytes:
+    """Strip the HTTP response envelope of a WARC 'response' record."""
+    if body[:5] in (b"HTTP/", b"http/"):
+        sep = body.find(b"\r\n\r\n")
+        if sep >= 0:
+            return body[sep + 4 :]
+    return body
+
+
+def read_span_docs_warc(spark, path: str):
+    """WARC archives -> span-doc table (doc_id, spans, n_chars).
+
+    Each 'response' (or 'resource') record becomes one document with a
+    single text span holding the HTTP payload decoded as UTF-8
+    (errors=replace). doc_id = WARC-Target-URI#record-offset."""
+    import pandas as pd
+
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches):
+        for pdf in batches:
+            ids, spans, nchars = [], [], []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if fpath.endswith(".gz") or data[:2] == b"\x1f\x8b":
+                    data = _gunzip_members(data)
+                for headers, body, off in parse_warc_records(data):
+                    rtype = headers.get("warc-type", "")
+                    if rtype not in ("response", "resource"):
+                        continue
+                    uri = headers.get("warc-target-uri", fpath)
+                    html = _http_payload(body).decode("utf-8", errors="replace")
+                    ids.append(f"{uri}#{off}")
+                    spans.append(
+                        [
+                            {
+                                "kind": "text",
+                                "text": html,
+                                "media_ref": None,
+                                "offset": 0,
+                            }
+                        ]
+                    )
+                    nchars.append(len(html))
+            yield pd.DataFrame(
+                {"doc_id": ids, "spans": spans, "n_chars": nchars}
+            )
+
+    return files.select("path", "content").mapInPandas(
+        run, schema=SPAN_DOC_SCHEMA
+    )
+
+
+def write_warc(path: str, pages: list[tuple[str, bytes]], gzip_members: bool = False) -> None:
+    """Minimal WARC/1.0 writer for tests/fixtures: one 'response' record
+    per (uri, html_bytes) page, optionally one gzip member per record
+    (the .warc.gz convention)."""
+    import gzip as _gzip
+
+    out = bytearray()
+    for uri, payload in pages:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: " + uri.encode("utf-8") + b"\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+            b"\r\n"
+        )
+        rec = hdr + http + b"\r\n\r\n"
+        out.extend(_gzip.compress(rec) if gzip_members else rec)
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
