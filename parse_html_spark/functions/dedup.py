@@ -12,7 +12,7 @@ stable across runs, partitionings and cluster sizes.
 
 import zlib
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .textfn import fingerprint
@@ -33,12 +33,20 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one row per distinct normalized text (min id wins)."""
-    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    """Keep one row per distinct normalized text (min id wins).
+
+    Shape: aggregate keepers (map-side partial min over (fp, id) -- only
+    16-byte digests and ids cross the exchange), then join back on the
+    digest. When the keeper side fits the broadcast threshold (high-dup
+    corpora), AQE broadcasts it and the document rows never shuffle at
+    all; worst case it degrades to the same one-shuffle cost a window
+    would pay, minus the per-partition sort."""
+    withfp = df.withColumn("_fp", fingerprint(F.col(text_col)))
+    keepers = withfp.groupBy("_fp").agg(F.min(id_col).alias("_keeper"))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        withfp.join(keepers, "_fp")
+        .filter(F.col(id_col) == F.col("_keeper"))
+        .drop("_fp", "_keeper")
     )
 
 
