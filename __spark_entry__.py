@@ -485,6 +485,20 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs).select("doc_id", "cluster")
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF ANN with n_probe = n_cells (all cells probed) is EXACT by
+    construction, so the approximate-search machinery (seeded coarse
+    quantizer, cell pruning, per-cell scoring) is oracle-checked against
+    the same brute-force SQL as cosine_topk."""
+    from parse_html_spark.functions.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_cosine_topk(
+        emb, list(qvec), k=10, n_cells=8, n_probe=8
+    ).select("vec_id", "cosine")
+
+
 def _q_page_full(spark, sf_dir):
     """The production one-pass job shape (extract_page: tokenize once,
     all extractors share the node index) oracle-checked end to end on
@@ -648,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "embed_near_dup": _q_embed_near_dup,
         "page_full": _q_page_full,
+        "ivf_topk": _q_ivf_topk,
         "node_counts": _q_node_counts,
         "node_descendants": _q_node_descendants,
         "events_window": _q_events_window,
@@ -843,6 +858,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst) "
             "SELECT src AS doc_id, min(dst) AS cluster FROM reach "
             "GROUP BY src"
+        ),
+        "ivf_topk": (
+            "SELECT vec_id, round(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+            "), 4) AS cosine FROM embeddings "
+            "ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
         "page_full": (
             "SELECT doc_id, 'T' || doc_id AS title, "
