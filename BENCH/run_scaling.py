@@ -98,10 +98,11 @@ def interleaved_pair(n_lo: int, n_hi: int, rounds: int = 3) -> dict:
         hi = run_bench(n_hi, extract_only=True, docs=PAIR_DOCS)["extract_docs_per_sec"]
         samples.append((lo, hi))
         ratios.append((hi / lo) / (n_hi / n_lo))
-    ratios.sort()
+    import statistics
+
     return {
-        "median_efficiency": round(ratios[len(ratios) // 2], 3),
-        "ratios": [round(r, 3) for r in ratios],
+        "median_efficiency": round(statistics.median(ratios), 3),
+        "ratios": [round(r, 3) for r in sorted(ratios)],
         "samples": samples,
     }
 

@@ -808,7 +808,11 @@ def oracle_sql() -> dict[str, str]:
             "sh AS (SELECT DISTINCT doc_id AS id, tok || ' ' || "
             "lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle "
             "FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos) "
-            "QUALIFY lead(tok, 2) OVER w IS NOT NULL), "
+            "QUALIFY lead(tok, 2) OVER w IS NOT NULL "
+            # docs with <3 tokens collapse to ONE joined-token shingle
+            # (matching shingles_col / _minhash_sig exactly)
+            f"UNION SELECT doc_id, coalesce(array_to_string({ltok_f}, ' '), '') "
+            f"FROM base WHERE len({ltok_f}) < 3), "
             "sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id), "
             "common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c "
             "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id "

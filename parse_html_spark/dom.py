@@ -146,7 +146,7 @@ class PH:
     def _filtered(self, ids: list[int], selector: str | None) -> "PH":
         d = self._doc
         if selector is not None:
-            plan = compile_selector(selector)
+            plan = compile_selector(selector, ref_compat=self._compat)
             if plan is None:
                 return PH.empty()
             compounds = [c[0] for c in plan if len(c) == 1]

@@ -228,7 +228,13 @@ def audio_features(samples: np.ndarray, rate: int, dim: int = 8) -> list[float]:
     if n == 0:
         return [0.0] * dim
     rms = float(np.sqrt(np.mean(x * x)))
-    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    # a single sample has no transitions: np.mean of the empty diff
+    # would be NaN and poison the feature vector downstream
+    zcr = (
+        float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+        if n > 1
+        else 0.0
+    )
     dur = n / rate
     quarters = np.array_split(x, 4)
     bands = [float(np.sqrt(np.mean(q * q))) if len(q) else 0.0 for q in quarters]

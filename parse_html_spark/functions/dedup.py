@@ -40,8 +40,15 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     digest. When the keeper side fits the broadcast threshold (high-dup
     corpora), AQE broadcasts it and the document rows never shuffle at
     all; worst case it degrades to the same one-shuffle cost a window
-    would pay, minus the per-partition sort."""
-    withfp = df.withColumn("_fp", fingerprint(F.col(text_col)))
+    would pay, minus the per-partition sort.
+
+    NULL text rows form their own group (sentinel digest -- md5 output
+    is never ''), so they dedup to one survivor instead of vanishing in
+    the NULL-key equi-join. Precondition: ``id_col`` is unique (a
+    duplicated minimum id would tie and keep both rows)."""
+    withfp = df.withColumn(
+        "_fp", F.coalesce(fingerprint(F.col(text_col)), F.lit(""))
+    )
     keepers = withfp.groupBy("_fp").agg(F.min(id_col).alias("_keeper"))
     return (
         withfp.join(keepers, "_fp")
@@ -188,7 +195,10 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             flat[pos : pos + len(tl)] = tl
             pos += len(tl)
         uniq, inv = np.unique(flat, return_inverse=True)
-        if len(hash_cache) > 4_000_000:
+        # bound worker memory: ~256k entries is a few tens of MB and
+        # keeps the steady-state vocabulary hot; 32 local workers each
+        # hold their own cache, so a big cap multiplies by parallelism
+        if len(hash_cache) > 262_144:
             hash_cache.clear()
         hs = np.empty(len(uniq), dtype=np.uint64)
         get = hash_cache.get
@@ -207,11 +217,16 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         starts = np.zeros(len(texts), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
         nonempty = lens > 0
-        # reduceat needs strictly valid start offsets; clamp empties and
-        # zero them afterward
-        safe_starts = np.minimum(starts, total - 1)
-        acc = np.add.reduceat(tok_signs, safe_starts, axis=0)
-        acc[~nonempty] = 0
+        # reduceat over NON-EMPTY docs only: their start offsets are
+        # strictly increasing and consecutive segments contain exactly
+        # their own tokens (empty docs contribute none). Clamping empty
+        # docs' offsets instead would SPLIT the preceding document's
+        # segment and corrupt its signature.
+        acc = np.zeros((len(texts), 64), dtype=np.int64)
+        if nonempty.any():
+            acc[nonempty] = np.add.reduceat(
+                tok_signs, starts[nonempty], axis=0
+            )
         packed = np.packbits(acc > 0, axis=1)
         out = packed.view(">u8").reshape(-1).astype(np.uint64).view(np.int64)
         return pd.Series(out)

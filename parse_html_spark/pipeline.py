@@ -615,7 +615,10 @@ def prepare_partitions(
 
     if size_col in df.columns:
         size = F.col(size_col)  # ingest column: predicate pushes to scan
-        small = df.filter(size <= mega_chars)
+        # NULL size (e.g. a source that did not populate the ingest
+        # column) routes to the normal branch -- rows must never vanish
+        # because both strict comparisons are false on NULL
+        small = df.filter((size <= mega_chars) | size.isNull())
         big_rows = df.filter(size > mega_chars)
     else:
         sized = df.withColumn("_n_chars", doc_size_col())

@@ -32,9 +32,17 @@ SPAN_DOC_SCHEMA = (
 
 
 def read_span_docs_jsonl(spark, path: str):
-    """JSONL span-docs with the pinned schema (no inference pass)."""
+    """JSONL span-docs with the pinned schema (no inference pass).
+    Lines without the n_chars field get it derived from span lengths, so
+    downstream skew routing never sees NULL sizes."""
+    from pyspark.sql import functions as F
+
+    from ..pipeline import doc_size_col
+
     df = spark.read.schema(SPAN_DOC_SCHEMA).json(path)
-    return df
+    return df.withColumn(
+        "n_chars", F.coalesce(F.col("n_chars"), doc_size_col().cast("long"))
+    )
 
 
 def _gunzip_members(data: bytes) -> bytes:

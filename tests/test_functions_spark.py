@@ -315,3 +315,25 @@ def test_embedding_near_duplicates_recall_precision(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in got}
     assert {(i, i + 500) for i in range(20)} <= pairs  # full recall
     assert all(r["cosine"] >= 0.95 for r in got)  # verified threshold
+
+
+def test_simhash_batch_invariant_to_empty_neighbors(spark):
+    """Regression: a document's simhash must not depend on empty/
+    whitespace-only rows elsewhere in the same Arrow batch (the
+    reduceat segmentation must skip empty docs, not clamp into the
+    previous document's segment)."""
+    from parse_html_spark.functions.dedup import simhash64
+
+    texts = ["a b", "", "c d e", "   ", "f"]
+    mixed = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).coalesce(1)  # force one batch containing the empties
+    alone = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts) if t.strip()],
+        "doc_id long, text string",
+    ).repartition(4)  # each doc in its own batch
+    got_mixed = {r["doc_id"]: r["simhash"] for r in simhash64(mixed).collect()}
+    got_alone = {r["doc_id"]: r["simhash"] for r in simhash64(alone).collect()}
+    for i in got_alone:
+        assert got_mixed[i] == got_alone[i], i
+    assert got_mixed[1] == 0 and got_mixed[3] == 0
