@@ -188,3 +188,145 @@ def for_each_batch_extract(spark, input_dir: str, handle_batch, checkpoint_dir: 
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_near_dup_candidates(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_est_jaccard: float = 0.6,
+    max_bucket_sigs: int = 64,
+    state_ttl_ms: int | None = None,
+):
+    """Custom STATEFUL streaming operator: MinHash-LSH near-duplicate
+    detection over an unbounded span-doc stream.
+
+    Stateless stage: assemble text from spans, MinHash-sign it (same
+    vectorized path as batch), explode LSH band hashes. Stateful stage:
+    applyInPandasWithState keyed by (band, band_hash) keeps the bucket's
+    seen signatures; an arriving doc whose signature matches a stored
+    one at >= min_est_jaccard (estimated as the fraction of agreeing
+    minhash components -- the unbiased Jaccard estimator) emits a
+    candidate edge (doc_id, dup_of, est_jaccard), else its signature is
+    stored. A doc can surface once per colliding band; downstream batch
+    dedup (or dup_clusters) collapses edges, exactly like the batch
+    verify-within-buckets flow.
+
+    State is bounded: at most max_bucket_sigs signatures per bucket
+    (FIFO eviction -- hot buckets are by definition full of near-dups,
+    so evicting the oldest costs little recall) and optional TTL
+    eviction like streaming_dedup_first_seen."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .functions.dedup import _mh_coeffs, _minhash_sig
+    from .session import ensure_py_files
+
+    ensure_py_files(spark)
+    rows_per_band = num_hashes // bands
+    coeffs = _mh_coeffs(num_hashes)
+
+    sdf = spark.readStream.schema(SPAN_INPUT_SCHEMA).parquet(input_dir)
+    text = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.col("spans"),
+                lambda a, b: F.when(a["offset"] < b["offset"], -1)
+                .when(a["offset"] > b["offset"], 1)
+                .otherwise(0),
+            ),
+            lambda s: F.coalesce(s["text"], F.lit("")),
+        ),
+    )
+
+    # NOTE: no type annotations on the UDF -- this module uses
+    # `from __future__ import annotations`, which stringifies hints and
+    # breaks pandas_udf signature inference (CLAUDE.md gotcha)
+    def _sig(texts):
+        return texts.map(lambda t: _minhash_sig(t or "", num_hashes, 3, coeffs))
+
+    sig_udf = F.pandas_udf(_sig, "array<long>")
+    signed = sdf.select("doc_id", sig_udf(text).alias("sig"))
+    banded = signed.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+    def bucket_fn(key, pdf_iter, state):
+        import numpy as np
+
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return iter(())
+        ids: list[str] = []
+        sigs: list[list[int]] = []
+        if state.exists:
+            stored_ids, stored_flat = state.get
+            ids = list(stored_ids)
+            k = num_hashes
+            sigs = [list(stored_flat[i * k : (i + 1) * k]) for i in range(len(ids))]
+        out_a, out_b, out_j = [], [], []
+        for pdf in pdf_iter:
+            order = pdf.sort_values("doc_id")
+            for doc_id, sig in zip(order["doc_id"], order["sig"]):
+                # plain Python ints: state serialization (Pyrolite) does
+                # not accept numpy scalars
+                sig = [int(v) for v in sig]
+                best_j, best_id = 0.0, None
+                if sigs:
+                    arr = np.asarray(sigs, dtype=np.int64)
+                    agree = (arr == np.asarray(sig, dtype=np.int64)).mean(axis=1)
+                    bi = int(agree.argmax())
+                    best_j, best_id = float(agree[bi]), ids[bi]
+                if best_id is not None and best_j >= min_est_jaccard:
+                    out_a.append(doc_id)
+                    out_b.append(best_id)
+                    out_j.append(round(best_j, 4))
+                else:
+                    ids.append(doc_id)
+                    sigs.append(sig)
+                    if len(ids) > max_bucket_sigs:
+                        ids = ids[-max_bucket_sigs:]
+                        sigs = sigs[-max_bucket_sigs:]
+        flat = [v for s in sigs for v in s]
+        state.update((ids, flat))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if not out_a:
+            return iter(())
+        return iter(
+            [pd.DataFrame({"doc_id": out_a, "dup_of": out_b, "est_jaccard": out_j})]
+        )
+
+    out = banded.groupBy("band", "band_hash").applyInPandasWithState(
+        bucket_fn,
+        outputStructType="doc_id string, dup_of string, est_jaccard double",
+        stateStructType="ids array<string>, flat_sigs array<long>",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

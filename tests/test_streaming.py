@@ -123,3 +123,40 @@ def test_stateful_dedup_state_ttl_evicts(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 13  # 5 + 3 + 5 re-emits
     assert out.select("fp").distinct().count() == 8  # 0..4 appear twice
+
+
+def test_streaming_near_dup_candidates(spark, tmp_path):
+    """Stateful MinHash-LSH near-dup over a stream: an identical doc
+    arriving in a LATER micro-batch run is flagged against the stored
+    signature (state persists across restarts); unrelated docs are not."""
+    from parse_html_spark.streaming import streaming_near_dup_candidates
+
+    in_dir = str(tmp_path / "nin")
+    out_dir = str(tmp_path / "nout")
+    ckpt = str(tmp_path / "nck")
+    os.makedirs(in_dir)
+    write_corpus_parquet(os.path.join(in_dir, "p1.parquet"), 8)
+    q = streaming_near_dup_candidates(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+    import glob
+
+    first = (
+        spark.read.parquet(out_dir).collect()
+        if glob.glob(out_dir + "/*.parquet")
+        else []
+    )
+    # the seed corpus has no near-dup pairs among 8 docs
+    assert first == []
+
+    # restart with the SAME docs re-sent (new files) + 4 fresh ones
+    write_corpus_parquet(os.path.join(in_dir, "p2.parquet"), 8)
+    write_corpus_parquet(os.path.join(in_dir, "p3.parquet"), 4, start=300)
+    q2 = streaming_near_dup_candidates(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(180)
+    rows = spark.read.parquet(out_dir).collect()
+    flagged = {r["doc_id"] for r in rows}
+    assert {f"doc-{i:08d}" for i in range(8)} <= flagged  # all re-sent dup
+    # identical re-sends estimate Jaccard 1.0 against the stored sig
+    assert all(r["est_jaccard"] == 1.0 for r in rows)
+    assert all(r["doc_id"] == r["dup_of"] for r in rows)  # matched self
+    assert not any(r["doc_id"].startswith("doc-000003") for r in rows)
