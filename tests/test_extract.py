@@ -204,3 +204,32 @@ def test_prepare_post_form():
 
 def test_value_only_empty_element():
     assert extract_element(PH("<div><span></span></div>"), val_only=True) == ""
+
+
+def test_select_option_attrs_from_start_tag_only():
+    """Round-2 audit pin: the reference passes whole option ELEMENT
+    strings to extractAttributes, but its mask re-extracts only the
+    start-tag attribute substring (ParseHTML.php:1321-1324) -- so text
+    content that LOOKS like an attribute ('value=z') must never leak
+    into the select's collected values, and options without a value
+    attribute are skipped entirely."""
+    from parse_html_spark.dom import PH
+    from parse_html_spark.extract import extract_form, to_plain
+
+    doc = (
+        '<form><select name="s">'
+        '<option value="a">pick value=z please</option>'
+        "<option>no value attr</option>"
+        '<option value="b">B</option>'
+        "</select></form>"
+    )
+    got = to_plain(extract_form(PH(doc)))
+    assert got == {"s": ["a", "b"]}
+
+
+def test_select_without_valued_options_is_null():
+    from parse_html_spark.dom import PH
+    from parse_html_spark.extract import extract_form, to_plain
+
+    doc = '<select name="s"><option>x</option><option>y</option></select>'
+    assert to_plain(extract_form(PH(doc))) == {"s": None}
