@@ -108,13 +108,15 @@ def _doc_spans_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: main-content extraction (boilerplate strip + media
-    interleave) over span-docs synthesized from sf0.001 documents."""
-    from parse_html_spark.pipeline import extract_spans, prepare_partitions
+    """Flagship: the production one-pass page job (extract_page) --
+    tokenize once, then main-content spans (compact columnar shape),
+    all tables, form fields, title and node count off the same node
+    index, over span-docs synthesized from sf0.001 documents."""
+    from parse_html_spark.pipeline import extract_page, prepare_partitions
 
     df = _doc_spans(spark, "/root/testdata/sf0.001").drop("orig_id")
     df = prepare_partitions(df, partitions=8)
-    return extract_spans(df)
+    return extract_page(df)
 
 
 # -- query implementations --------------------------------------------------
@@ -420,6 +422,10 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_jaccard_pairs(spark, sf_dir):
+    """Exact token-Jaccard pairs vs the identical relational query in
+    DuckDB. The default hot-token guard (max_df=1000) cannot fire here:
+    document frequency is bounded by the 40-doc domain, so the capped
+    operator and the uncapped oracle SQL agree by construction."""
     from parse_html_spark.functions.dedup import token_jaccard_pairs
 
     docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 40)
@@ -496,6 +502,23 @@ def _q_ivf_topk(spark, sf_dir):
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return ivf_cosine_topk(
         emb, list(qvec), k=10, n_cells=8, n_probe=8
+    ).select("vec_id", "cosine")
+
+
+def _q_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN with n_probe_buckets = 2^bits (every bucket
+    probed) is EXACT by construction -- the bucketing and multi-probe
+    machinery (seeded hyperplanes, sign signature, Hamming-ordered probe
+    list, bucket filter) all execute but prune nothing, so the output is
+    oracle-checked against the same brute-force SQL as cosine_topk.
+    Single-bucket recall is pinned separately by a planted-duplicate
+    pytest (tests/test_functions_spark.py)."""
+    from parse_html_spark.functions.similarity import lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_cosine_topk(
+        emb, list(qvec), k=10, bits=3, n_probe_buckets=8
     ).select("vec_id", "cosine")
 
 
@@ -663,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": _q_embed_near_dup,
         "page_full": _q_page_full,
         "ivf_topk": _q_ivf_topk,
+        "lsh_topk": _q_lsh_topk,
         "node_counts": _q_node_counts,
         "node_descendants": _q_node_descendants,
         "events_window": _q_events_window,
@@ -862,6 +886,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst) "
             "SELECT src AS doc_id, min(dst) AS cluster FROM reach "
             "GROUP BY src"
+        ),
+        "lsh_topk": (
+            "SELECT vec_id, round(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+            "), 4) AS cosine FROM embeddings "
+            "ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
         "ivf_topk": (
             "SELECT vec_id, round(list_cosine_similarity("

@@ -59,24 +59,39 @@ def main() -> None:
     times: dict[str, float] = {}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
+    tasks: list[tuple[str, object]] = []
+
     def timed(name: str, fn, reps: int = 2) -> None:
-        # the sandbox host is noisy (2-10x run-to-run variance observed);
-        # report the best of `reps` runs as the least-contended measurement.
-        # A failing query records -1 instead of killing the whole bench:
-        # the driver must always receive the JSON line.
-        best = float("inf")
-        n = 0
-        try:
-            for _ in range(reps):
-                t0 = time.time()
-                n = fn()
-                best = min(best, time.time() - t0)
-        except Exception as exc:  # noqa: BLE001
-            log(f"{name}: FAILED: {exc}")
-            times[name] = -1.0
-            return
-        times[name] = round(best, 3)
-        log(f"{name}: {times[name]}s ({n} rows)")
+        # queries are REGISTERED here and executed in interleaved full
+        # passes by run_tasks(): per-query back-to-back reps give early
+        # queries a cold machine and late queries a clock-throttled one
+        # (the host throttles under sustained load), systematically
+        # biasing ratios like skew_routed/main. Interleaving puts every
+        # query in each pass under comparable thermal state; the
+        # per-query best-of-passes is the least-contended measurement.
+        tasks.append((name, fn))
+
+    def run_tasks(reps: int = 2) -> None:
+        for r in range(reps):
+            # alternate direction per pass: the host throttles clocks as
+            # load accumulates, so a fixed order would always hand the
+            # same queries the hot end of the pass
+            ordered = tasks if r % 2 == 0 else list(reversed(tasks))
+            for name, fn in ordered:
+                if times.get(name, 0.0) < 0:
+                    continue  # failed in an earlier pass
+                try:
+                    t0 = time.time()
+                    n = fn()
+                    dt = time.time() - t0
+                except Exception as exc:  # noqa: BLE001
+                    # record -1 instead of killing the whole bench: the
+                    # driver must always receive the JSON line
+                    log(f"{name}: FAILED: {exc}")
+                    times[name] = -1.0
+                    continue
+                times[name] = round(min(times.get(name, dt), dt), 3)
+                log(f"pass {r + 1} {name}: {dt:.3f}s ({n} rows)")
 
     # size parquet scan splits so the Python map stage gets ~4 splits
     # per core WITHOUT a shuffle: byte-based splitting is inherently
@@ -94,6 +109,7 @@ def main() -> None:
     timed("extract_main", lambda: extract_spans_compact(corpus).count())
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "extract":
         # pair-mode for interleaved scaling measurements: headline only
+        run_tasks()
         result = {
             "metric": "extract_only_wall",
             "value": times.get("extract_main", -1.0),
@@ -114,16 +130,19 @@ def main() -> None:
     from parse_html_spark.pipeline import extract_page
 
     timed("extract_page_full", lambda: extract_page(corpus).count())
+    # mega spread = one slot per core: the ~0.2% mega docs land ~4 per
+    # task (each ~45ms) -- 4x more slots would only add ~100 near-empty
+    # exchange tasks whose launch overhead exceeds the balance gain
     timed(
         "extract_skew_routed",
         lambda: extract_spans_compact(
-            prepare_partitions(corpus, CPUS * 4)
+            prepare_partitions(corpus, CPUS)
         ).count(),
     )
-    timed(
-        "extract_exploded",
-        lambda: extract_spans(prepare_partitions(corpus, CPUS * 4)).count(),
-    )
+    # exploded sink on the SAME input as extract_main: isolates the
+    # row-form cost (compact map + JVM posexplode); routing overhead is
+    # what extract_skew_routed measures
+    timed("extract_exploded", lambda: extract_spans(corpus).count())
     timed(
         "selector_scan",
         lambda: select_spans(corpus, "article p.intro", mode="text").count(),
@@ -165,6 +184,7 @@ def main() -> None:
 
     timed("cosine_topk", _cosine)
 
+    run_tasks(reps=3)
     total = round(sum(t for t in times.values() if t > 0), 3)
     extract_wall = times.get("extract_main", -1.0)
     extract_docs_per_sec = (

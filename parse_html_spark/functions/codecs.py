@@ -82,28 +82,43 @@ def decode_png(data: bytes) -> np.ndarray:
         off = y * (stride + 1)
         ftype = raw[off]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        # Cost envelope (measured, BENCH/CODECS.md): filters 0/1/2 are
+        # fully vectorized (copy / per-lane uint8 cumsum / whole-row
+        # add) at ~100-600 MB/s. Filters 3/4 are SEQUENTIAL ACROSS
+        # PIXELS by spec (each decoded pixel feeds the next prediction):
+        # a plain-int Python recurrence at ~4-7 MB/s -- a real image
+        # corpus should plug an external decoder (media.py) for those.
         if ftype == 0:
             cur = line.copy()
+        elif ftype == 1:  # Sub: left-neighbor prefix sum per channel lane
+            cur = np.cumsum(
+                line.reshape(-1, ch), axis=0, dtype=np.uint8
+            ).reshape(-1)  # uint8 accumulate wraps mod 256 (PNG spec)
         elif ftype == 2:  # Up
             cur = line + prev  # uint8 wraps mod 256 (PNG spec arithmetic)
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left pixel
-            cur = np.empty(stride, dtype=np.uint8)
-            li = line.astype(np.int32)
-            pv = prev.astype(np.int32)
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0  # left
-                b = int(pv[x])  # up
-                if ftype == 1:
-                    val = li[x] + a
-                elif ftype == 3:
-                    val = li[x] + ((a + b) >> 1)
-                else:  # Paeth
-                    c = int(prev[x - ch]) if x >= ch else 0  # up-left
+        elif ftype in (3, 4):  # Average / Paeth recur on the left pixel
+            # plain-int lists, not numpy scalars: per-element ndarray
+            # indexing boxes a numpy scalar per access (~10x slower than
+            # list ints for this recurrence)
+            row = line.tolist()
+            up = prev.tolist()
+            out_row = [0] * stride
+            if ftype == 3:
+                for x in range(stride):
+                    a = out_row[x - ch] if x >= ch else 0
+                    out_row[x] = (row[x] + ((a + up[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = out_row[x - ch] if x >= ch else 0
+                    b = up[x]
+                    c = up[x - ch] if x >= ch else 0
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    val = li[x] + pred
-                cur[x] = val & 0xFF
+                    out_row[x] = (row[x] + pred) & 0xFF
+            cur = np.asarray(out_row, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter {ftype}")
         out[y] = cur

@@ -296,20 +296,22 @@ def token_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_jaccard: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact distinct-token-set Jaccard for all pairs sharing >= 1 token.
     Pure relational form (explode + equi-join + group) -- identical
     semantics in any SQL engine; the DuckDB oracle runs the same query.
 
-    SCALE GUARD: the token equi-join is quadratic in per-token document
-    frequency (a token in k docs yields k^2/2 join rows -- 'the' on a web
-    corpus is a de-facto cross join). ``max_df`` drops tokens whose
-    document frequency exceeds the cap BEFORE the join (from both the
-    common counts and the set sizes), bounding every token's join
-    contribution to max_df^2/2 rows. Stop-word-frequency tokens carry no
-    similarity signal, so a cap in the hundreds changes near-dup pairs
-    negligibly while removing the quadratic blowup. For corpus-scale
+    SCALE GUARD (ON BY DEFAULT): the token equi-join is quadratic in
+    per-token document frequency (a token in k docs yields k^2/2 join
+    rows -- 'the' on a web corpus is a de-facto cross join). ``max_df``
+    drops tokens whose document frequency exceeds the cap BEFORE the
+    join (from both the common counts and the set sizes), bounding every
+    token's join contribution to max_df^2/2 rows. Stop-word-frequency
+    tokens carry no similarity signal, so the default cap of 1000
+    changes near-dup pairs negligibly while removing the quadratic
+    blowup; pass an EXPLICIT ``max_df=None`` to opt into the uncapped
+    exact join (only sane on small, known corpora). For corpus-scale
     near-dup detection prefer minhash_near_duplicates(), which only ever
     computes exact Jaccard within LSH candidate buckets."""
     toks = df.select(

@@ -166,12 +166,19 @@ def lsh_cosine_topk(
     query_vec: list[float],
     k: int = 10,
     bits: int = 4,
+    n_probe_buckets: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: only vectors in the query's LSH bucket are
-    scored. Recall is traded for a ~2^bits candidate reduction."""
+    """Approximate top-k: only vectors in the ``n_probe_buckets`` LSH
+    buckets nearest the query's bucket (by Hamming distance of the sign
+    signatures -- multi-probe LSH) are scored. n_probe_buckets=1 is
+    classic single-bucket LSH (~2^bits candidate reduction); probing
+    ALL 2^bits buckets makes the operator EXACT by construction (the
+    bucketing/probing machinery still runs but prunes nothing), which is
+    the oracle-checkable configuration mirroring ivf_cosine_topk's
+    all-probe mode."""
     import numpy as np
 
     planes = _hyperplanes(len(query_vec), bits, seed)
@@ -180,8 +187,15 @@ def lsh_cosine_topk(
     for i, row in enumerate(planes):
         if float(row @ qv) > 0:
             qb |= 1 << i
+    all_buckets = np.arange(1 << bits, dtype=np.int64)
+    ham = np.array(
+        [bin(int(b) ^ qb).count("1") for b in all_buckets], dtype=np.int64
+    )
+    # nearest buckets first; ties broken by bucket id for determinism
+    order = np.lexsort((all_buckets, ham))
+    probe = [int(b) for b in all_buckets[order][: max(1, n_probe_buckets)]]
     bucketed = df.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
-    cand = bucketed.filter(F.col("_bucket") == qb)
+    cand = bucketed.filter(F.col("_bucket").isin(probe))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 

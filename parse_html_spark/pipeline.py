@@ -74,10 +74,19 @@ def extract_spans(df, with_partition_id: bool = False):
     """Main-content extraction: span docs -> ordered output spans
     (doc_id, order, kind, text, media_ref). The flagship pipeline.
 
+    The exploded row form is produced as compact parallel arrays in
+    Python (the cheap Arrow shape) and exploded JVM-SIDE via posexplode:
+    per-span Python rows never exist, so the row form costs the same
+    map stage as extract_spans_compact plus a codegen'd generate.
+
     with_partition_id=True appends the physical partition id (via
     TaskContext) so per-partition extraction metrics/lineage can be
-    aggregated relationally downstream (SURVEY.md 2.9)."""
+    aggregated relationally downstream (SURVEY.md 2.9); that path keeps
+    the direct row emitter so the id rides every span row."""
     import pandas as pd
+
+    if not with_partition_id:
+        return explode_compact(extract_spans_compact(df))
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         pid = -1
@@ -388,17 +397,23 @@ def extract_forms_df(df):
 
 NODE_SCHEMA = (
     "doc_id string, node_id int, tag string, start long, `end` long, "
-    "cstart long, cend long, parent int, depth int, "
-    "attrs map<string,string>"
+    "cstart long, cend long, parent int, depth int"
 )
 
 
-def node_table(df):
+def node_table(df, with_attrs: bool = False):
     """Exploded relational node table (SURVEY.md 1.2): one row per
     element across the corpus. Cross-document structural work then stays
     in native DataFrame ops -- descendant matching is a range-containment
     join, direct-child an equi-join on parent, and Catalyst/AQE pick the
-    join strategy (broadcast the ancestor side when small)."""
+    join strategy (broadcast the ancestor side when small).
+
+    ``attrs`` is OPT-IN (with_attrs=True): most node-table consumers
+    (tag histograms, descendant joins) never read attributes, and the
+    map column is the only non-primitive in the row. When requested it
+    crosses the Arrow bridge as parallel key/value arrays (primitive
+    string columns, no per-node Python dicts) and becomes a MapType
+    JVM-side via map_from_arrays."""
     import pandas as pd
 
     import numpy as np
@@ -408,7 +423,8 @@ def node_table(df):
             # parallel column lists (NOT per-node dicts): the numeric node
             # arrays are appended whole per doc and concatenated once per
             # batch -- Arrow serializes primitive columns, never row objects
-            col_doc, col_nid, col_tag, col_attrs = [], [], [], []
+            col_doc, col_nid, col_tag = [], [], []
+            col_ak, col_av = [], []
             num_chunks = []  # per-doc (6, n) int64 blocks
             for doc_id, row_spans in zip(pdf["doc_id"], pdf["spans"]):
                 html, _ = assemble(_spans_of_row(row_spans))
@@ -425,36 +441,54 @@ def node_table(df):
                          doc.parent, doc.depth)
                     )
                 )
-                col_attrs.extend(
-                    {k: ("" if v is None else v) for k, v in doc.attrs(i).items()}
-                    for i in range(n)
-                )
+                if with_attrs:
+                    for i in range(n):
+                        items = doc.attrs(i)
+                        col_ak.append(list(items.keys()))
+                        col_av.append(
+                            ["" if v is None else v for v in items.values()]
+                        )
             if not col_doc:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": [], "node_id": [], "tag": [], "start": [],
-                        "end": [], "cstart": [], "cend": [], "parent": [],
-                        "depth": [], "attrs": [],
-                    }
-                )
+                cols = {
+                    "doc_id": [], "node_id": [], "tag": [], "start": [],
+                    "end": [], "cstart": [], "cend": [], "parent": [],
+                    "depth": [],
+                }
+                if with_attrs:
+                    cols["attrs_keys"] = []
+                    cols["attrs_vals"] = []
+                yield pd.DataFrame(cols)
                 continue
             nums = np.concatenate(num_chunks, axis=1)
-            yield pd.DataFrame(
-                {
-                    "doc_id": col_doc,
-                    "node_id": np.concatenate(col_nid),
-                    "tag": col_tag,
-                    "start": nums[0],
-                    "end": nums[1],
-                    "cstart": nums[2],
-                    "cend": nums[3],
-                    "parent": nums[4].astype(np.int32),
-                    "depth": nums[5].astype(np.int32),
-                    "attrs": col_attrs,
-                }
-            )
+            cols = {
+                "doc_id": col_doc,
+                "node_id": np.concatenate(col_nid),
+                "tag": col_tag,
+                "start": nums[0],
+                "end": nums[1],
+                "cstart": nums[2],
+                "cend": nums[3],
+                "parent": nums[4].astype(np.int32),
+                "depth": nums[5].astype(np.int32),
+            }
+            if with_attrs:
+                cols["attrs_keys"] = col_ak
+                cols["attrs_vals"] = col_av
+            yield pd.DataFrame(cols)
 
-    return _map_in_pandas(df, run, NODE_SCHEMA)
+    if not with_attrs:
+        return _map_in_pandas(df, run, NODE_SCHEMA)
+    from pyspark.sql import functions as F
+
+    wide = _map_in_pandas(
+        df, run,
+        NODE_SCHEMA + ", attrs_keys array<string>, attrs_vals array<string>",
+    )
+    return wide.select(
+        "doc_id", "node_id", "tag", "start", "end", "cstart", "cend",
+        "parent", "depth",
+        F.map_from_arrays("attrs_keys", "attrs_vals").alias("attrs"),
+    )
 
 
 def descendants_join(nodes, ancestor_tag: str, desc_tag: str, broadcast_ancestors: bool = True):
@@ -706,11 +740,18 @@ def run_resumable(
             part = df.filter(bucket_col == b)
         part = prepare_partitions(part, partitions)
         out = extract_spans(part)
+        # span count rides the WRITE action itself (CollectMetrics):
+        # no post-write re-read -- at 100 TB a metrics-only second pass
+        # over everything written would double the job's input volume
+        from pyspark.sql import Observation
+
+        obs = Observation(f"extract_bucket_{b}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("n_spans"))
         t0 = time.time()
         out_path = os.path.join(output_dir, f"bucket={b}")
         out.write.mode("overwrite").parquet(out_path)
         wall = time.time() - t0
-        n_spans = spark.read.parquet(out_path).count()
+        n_spans = int(obs.get["n_spans"])
         metrics_rows.append((b, n_spans, float(wall)))
         manifest["done"].append(b)
         tmp = manifest_path + ".tmp"

@@ -138,6 +138,21 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels
 
 
+def _parquet_meta_rows(path: str) -> int:
+    """Row count from parquet FOOTERS only (driver-side, no Spark job,
+    no data scan) -- the stand-in for an Iceberg manifest row count."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    else:
+        files = [path]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def prepare_training_corpus(
     spark,
     input_path: str,
@@ -145,11 +160,20 @@ def prepare_training_corpus(
     partitions: int = 64,
     min_quality: float = 0.25,
 ) -> dict:
-    """Full composed run; returns stage counts for the metrics table."""
+    """Full composed run; returns stage counts for the metrics table.
+
+    Metric counts cost NO extra corpus pass: docs_in comes from the
+    input's parquet footers (metadata only); docs_out rides the write
+    action itself as an observed metric (CollectMetrics on the final
+    plan node -- placed at the top of the plan, where no self-join
+    duplicates it, unlike the extraction subtree which the dedup joins
+    reference more than once)."""
+    from pyspark.sql import Observation
+
     from .pipeline import extract_docs
 
+    n_in = _parquet_meta_rows(input_path)
     raw = spark.read.parquet(input_path)
-    n_in = raw.count()
     # fused extract+reassemble: one map pass, no span-row shuffle
     docs = extract_docs(prepare_partitions(raw, partitions))
     kept = quality_filter(docs, min_quality)
@@ -157,6 +181,7 @@ def prepare_training_corpus(
 
     kept = dedup_exact(kept)
     kept = drop_near_duplicates(kept)
+    obs_out = Observation("training_docs_out")
+    kept = kept.observe(obs_out, F.count(F.lit(1)).alias("n"))
     kept.write.mode("overwrite").parquet(output_path)
-    n_out = spark.read.parquet(output_path).count()
-    return {"docs_in": n_in, "docs_out": n_out}
+    return {"docs_in": n_in, "docs_out": int(obs_out.get["n"])}

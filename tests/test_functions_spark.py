@@ -290,6 +290,54 @@ def test_token_jaccard_max_df_bounds_hot_tokens(spark):
     assert all(r["jaccard"] == 1.0 for r in capped)
 
 
+def test_token_jaccard_default_cap_is_finite(spark):
+    """The hot-token guard is ON BY DEFAULT (max_df=1000): a stop-word
+    present in every one of 1200 docs would contribute C(1200,2) ~ 7e5
+    join rows uncapped; under the default cap it is dropped before the
+    join and the otherwise-unique docs produce zero pairs."""
+    import inspect
+
+    from parse_html_spark.functions.dedup import token_jaccard_pairs
+
+    sig = inspect.signature(token_jaccard_pairs)
+    assert sig.parameters["max_df"].default == 1000
+    rows = [(i, f"the unique{i}") for i in range(1200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert token_jaccard_pairs(df, min_jaccard=0.01).count() == 0
+
+
+def test_lsh_topk_all_probe_is_exact_and_single_bucket_recalls(spark):
+    """Multi-probe hyperplane LSH: probing all 2^bits buckets equals
+    exact brute force (the oracle configuration); a planted exact
+    duplicate of the query vector is deterministically recalled even at
+    single-bucket probing (identical vector -> identical sign bucket)."""
+    from parse_html_spark.functions.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    rows = [
+        (i, [float((i * 7) % 11) - 5.0, float((i * 3) % 13) - 6.0, 1.0, float(i % 5)])
+        for i in range(60)
+    ]
+    q = [2.5, -1.5, 1.0, 3.0]
+    rows.append((999, list(q)))  # planted exact duplicate of the query
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = [(r["vec_id"], r["cosine"]) for r in cosine_topk(df, q, k=5).collect()]
+    allprobe = [
+        (r["vec_id"], r["cosine"])
+        for r in lsh_cosine_topk(
+            df, q, k=5, bits=3, n_probe_buckets=8
+        ).collect()
+    ]
+    assert allprobe == exact
+    single = [
+        r["vec_id"]
+        for r in lsh_cosine_topk(df, q, k=1, bits=4, n_probe_buckets=1).collect()
+    ]
+    assert single == [999]
+
+
 def test_embedding_near_duplicates_recall_precision(spark):
     """Embedding-cosine near-dup: planted perturbed copies are all
     recalled through multi-table hyperplane LSH; nothing below the

@@ -329,3 +329,42 @@ def test_resumable_metrics_in_warehouse(spark, tmp_path):
     assert len(snaps2) == 2
     assert wh.read("extraction_metrics").count() == 6  # 4 + 2 resumed
     assert wh.read("extraction_metrics", as_of=0).count() == 4  # time travel
+
+
+def test_node_table_attrs_opt_in(spark, corpus):
+    """attrs is opt-in and arrives JVM-side via map_from_arrays over
+    parallel key/value primitive arrays (no per-node Python dicts);
+    values must match the per-doc engine's attrs()."""
+    from parse_html_spark.pipeline import node_table
+    from parse_html_spark.tokenizer import DocIndex
+
+    lean = node_table(corpus)
+    assert "attrs" not in lean.columns  # default: no map column at all
+    nodes = node_table(corpus, with_attrs=True).toPandas()
+    assert "attrs" in nodes.columns
+    d = gen_doc(2)
+    html, _ = assemble(d["spans"])
+    doc = DocIndex(html)
+    got = nodes[nodes["doc_id"] == d["doc_id"]].sort_values("node_id")
+    assert len(got) == doc.n
+    for i, row_attrs in zip(got["node_id"], got["attrs"]):
+        want = {
+            k: ("" if v is None else v) for k, v in doc.attrs(int(i)).items()
+        }
+        assert dict(row_attrs) == want, (d["doc_id"], i)
+
+
+def test_resumable_metrics_match_written_rows(spark, tmp_path):
+    """n_spans comes from an observed metric on the write action (no
+    post-write re-read); it must equal the rows actually written."""
+    from parse_html_spark.sources.warehouse import Warehouse
+
+    src = str(tmp_path / "in.parquet")
+    write_corpus_parquet(src, 20)
+    out = str(tmp_path / "out")
+    run_resumable(spark, src, out, buckets=2, partitions=4)
+    wh = Warehouse(spark, os.path.join(out, "_metrics_wh"))
+    m = wh.read("extraction_metrics")
+    total_metric = m.agg({"n_spans": "sum"}).first()[0]
+    total_actual = spark.read.parquet(os.path.join(out, "bucket=*")).count()
+    assert total_metric == total_actual

@@ -160,3 +160,110 @@ def test_streaming_near_dup_candidates(spark, tmp_path):
     assert all(r["est_jaccard"] == 1.0 for r in rows)
     assert all(r["doc_id"] == r["dup_of"] for r in rows)  # matched self
     assert not any(r["doc_id"].startswith("doc-000003") for r in rows)
+
+
+def test_streaming_dedup_equals_batch_keepers(spark, tmp_path):
+    """Streaming<->batch equivalence pin: availableNow first-seen dedup
+    over a corpus fully present at query start keeps exactly the same
+    doc_ids as batch dedup_exact (min-id keeper per distinct text) on
+    the same span-doc table."""
+    from pyspark.sql import functions as F
+
+    from parse_html_spark.functions.dedup import dedup_exact
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    # two identical files (every doc duplicated) + distinct extras, ALL
+    # written before the query starts so availableNow sees one backlog
+    write_corpus_parquet(os.path.join(in_dir, "p1.parquet"), 12)
+    write_corpus_parquet(os.path.join(in_dir, "p2.parquet"), 12)
+    write_corpus_parquet(os.path.join(in_dir, "p3.parquet"), 6, start=300)
+    q = streaming_dedup_first_seen(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+    stream_kept = {
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    }
+
+    batch = spark.read.parquet(in_dir)
+    text = F.concat_ws(
+        "\x00",
+        F.transform(
+            F.array_sort(
+                F.col("spans"),
+                lambda a, b: F.when(a["offset"] < b["offset"], -1)
+                .when(a["offset"] > b["offset"], 1)
+                .otherwise(0),
+            ),
+            lambda s: F.coalesce(s["text"], F.lit("")),
+        ),
+    )
+    batch_kept = {
+        r["doc_id"]
+        for r in dedup_exact(batch.select("doc_id", text.alias("text")))
+        .select("doc_id")
+        .collect()
+    }
+    assert stream_kept == batch_kept
+
+
+def test_streaming_near_dup_covers_batch_verified_pairs(spark, tmp_path):
+    """Streaming<->batch equivalence pin: the stateful MinHash-LSH
+    stream's candidate edges cover every batch VERIFIED near-dup pair
+    (exact duplicates estimate Jaccard 1.0 in every band, so banding or
+    FIFO order cannot lose them), and every emitted edge clears the
+    estimator threshold."""
+    from pyspark.sql import functions as F
+
+    from parse_html_spark.functions.dedup import minhash_near_duplicates
+    from parse_html_spark.streaming import streaming_near_dup_candidates
+
+    in_dir = str(tmp_path / "nin")
+    out_dir = str(tmp_path / "nout")
+    ckpt = str(tmp_path / "nck")
+    os.makedirs(in_dir)
+    write_corpus_parquet(os.path.join(in_dir, "p1.parquet"), 8)
+    write_corpus_parquet(os.path.join(in_dir, "p2.parquet"), 8, start=500)
+    # p3 plants exact duplicates: p1's spans verbatim under fresh doc_ids
+    # (written via pyarrow as a FLAT file -- a Spark write would create a
+    # directory, which the flat directory listing of the stream source
+    # and batch read both skip)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(in_dir, "p1.parquet"))
+    dup_ids = pa.array(["dup-" + v for v in t["doc_id"].to_pylist()])
+    pq.write_table(
+        t.set_column(t.schema.get_field_index("doc_id"), "doc_id", dup_ids),
+        os.path.join(in_dir, "p3.parquet"),
+    )
+
+    q = streaming_near_dup_candidates(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(240)
+    edges = spark.read.parquet(out_dir).collect()
+    stream_pairs = {frozenset((r["doc_id"], r["dup_of"])) for r in edges}
+    assert all(r["est_jaccard"] >= 0.6 for r in edges)
+
+    batch = spark.read.parquet(in_dir)
+    text = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.col("spans"),
+                lambda a, b: F.when(a["offset"] < b["offset"], -1)
+                .when(a["offset"] > b["offset"], 1)
+                .otherwise(0),
+            ),
+            lambda s: F.coalesce(s["text"], F.lit("")),
+        ),
+    )
+    verified = minhash_near_duplicates(
+        batch.select("doc_id", text.alias("text")),
+        num_hashes=32,
+        bands=8,
+        min_jaccard=0.999,  # the planted pairs are EXACT dups (J = 1.0)
+    ).collect()
+    batch_pairs = {frozenset((r["id_a"], r["id_b"])) for r in verified}
+    assert len(batch_pairs) == 8  # one per planted duplicate
+    assert batch_pairs <= stream_pairs

@@ -1,0 +1,122 @@
+"""PNG decode throughput per scanline filter (no Spark; numpy-only).
+
+Measures decode MB/s of raw pixel output for synthetic RGB images whose
+every scanline uses one fixed filter type, by round-tripping through a
+reference filter-encoder and parse_html_spark.functions.codecs.decode_png.
+Writes/refreshes the "PNG decode throughput" section of BENCH/CODECS.md.
+
+Usage: python tools/bench_codecs.py [side_px] [reps]
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+import time
+import zlib
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parse_html_spark.functions.codecs import PNG_SIG, decode_png  # noqa: E402
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def encode_with_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Reference encoder: apply PNG filter `ftype` to every scanline
+    (slow scalar code -- correctness reference only, not measured)."""
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        line = flat[y]
+        out = np.empty(stride, dtype=np.int32)
+        for x in range(stride):
+            a = int(line[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (line[x] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def main() -> None:
+    side = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    rng = np.random.RandomState(42)
+    # smooth gradient + noise: compressible like a real photo, and every
+    # filter's arithmetic is exercised with realistic residuals
+    yy, xx = np.mgrid[0:side, 0:side]
+    base = ((yy + xx) % 256).astype(np.uint8)
+    img = np.stack(
+        [base, base[::-1], rng.randint(0, 256, (side, side), dtype=np.uint8)],
+        axis=2,
+    )
+    mb = img.nbytes / 1e6
+    names = {0: "None", 1: "Sub", 2: "Up", 3: "Average", 4: "Paeth"}
+    lines = [
+        "# PNG decode throughput (tools/bench_codecs.py)",
+        "",
+        f"RGB {side}x{side} ({mb:.2f} MB raw pixels), every scanline the "
+        f"same filter; best of {reps} decode reps, single thread.",
+        "",
+        "| filter | decode MB/s (pixel output) |",
+        "|---|---|",
+    ]
+    for ftype in range(5):
+        data = encode_with_filter(img, ftype)
+        back = decode_png(data)
+        assert np.array_equal(back, img), f"filter {ftype} round-trip"
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            decode_png(data)
+            best = min(best, time.perf_counter() - t0)
+        rate = mb / best
+        lines.append(f"| {ftype} ({names[ftype]}) | {rate:.1f} |")
+        print(f"filter {ftype} ({names[ftype]}): {rate:.1f} MB/s", file=sys.stderr)
+    lines += [
+        "",
+        "Filters 0/1/2 are fully vectorized (copy / per-lane uint8 cumsum /",
+        "whole-row add). Filters 3/4 (Average/Paeth) are sequential across",
+        "pixels BY SPEC (each decoded pixel feeds the next prediction) and",
+        "run a per-pixel Python loop vectorized across channels; their",
+        "MB/s above is the honest cost envelope per decoded megapixel.",
+        "",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "CODECS.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
