@@ -1,0 +1,573 @@
+"""Baseline JPEG codec (ITU-T T.81 sequential DCT, 8-bit) in pure
+stdlib + numpy -- closing the "JPEG needs an external library" gap for
+baseline files.
+
+Implemented from the public spec (ITU-T T.81 / JFIF 1.02):
+- decoder: SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS parsing, canonical Huffman
+  decode (Annex C code construction, F.2 EXTEND), dequantize + zigzag,
+  exact float IDCT (orthonormal DCT-III as two 8x8 matmuls), restart
+  markers, grayscale + YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling
+  (nearest/replicate chroma upsampling), JFIF YCbCr->RGB.
+- encoder: the inverse pipeline with the Annex K example quantization
+  and Huffman tables, libjpeg-style quality scaling, optional 4:2:0
+  chroma subsampling (box mean).
+
+Progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
+modes raise ValueError -- those genuinely need an external decoder.
+
+Cost envelope: the entropy decode is a per-symbol Python bit loop
+(~100-300 KB of coded data per second); right for tests, metadata
+probes and small thumbnails, NOT for bulk corpora -- plug an external
+decoder at functions/media.py for that.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: index k of the scan -> (row, col) flat index
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# ITU-T T.81 Annex K.1 example quantization tables (quality 50 base)
+_Q_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_Q_CHR = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 example Huffman tables: (BITS[1..16], HUFFVAL)
+_H_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_H_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_H_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_H_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: row u, col x."""
+    c = np.zeros((8, 8))
+    for u in range(8):
+        a = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            c[u, x] = a * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def _build_decode_table(bits, vals):
+    """Canonical Huffman (T.81 Annex C): {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits, vals):
+    """Canonical Huffman: {symbol: (code, length)}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; restart markers are consumed via restart()."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        p = self.pos
+        b = d[p]
+        p += 1
+        if b == 0xFF:
+            nxt = d[p]
+            if nxt == 0x00:
+                p += 1  # stuffed literal 0xFF
+            elif 0xD0 <= nxt <= 0xD7:
+                # restart marker mid-fill: only legal at restart(); treat
+                # as error to surface malformed streams
+                raise ValueError("unexpected restart marker in bitstream")
+            else:
+                # end of scan (e.g. EOI): pad with zero bits per spec
+                self.buf = (self.buf << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                return
+        self.buf = ((self.buf << 8) | b) & 0xFFFFFFFF
+        self.nbits += 8
+        self.pos = p
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.buf = 0
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        while d[p] != 0xFF or not (0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        self.pos = p + 2
+
+
+def _decode_huff(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.1.3.1 EXTEND: map t received bits to a signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG -> (H, W) uint8 (grayscale) or (H, W, 3) uint8 RGB."""
+    if data[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    comps = []  # [id, h, v, tq]
+    width = height = None
+    dri = 0
+    pos = 2
+    scan_comps = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                o += 1
+                if pq:
+                    tbl = np.frombuffer(
+                        body[o : o + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    o += 128
+                else:
+                    tbl = np.frombuffer(
+                        body[o : o + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    o += 64
+                dq = np.zeros(64, dtype=np.int64)
+                dq[_ZZ] = tbl  # stored in zigzag order
+                qt[tq] = dq
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17 : o + 17 + n])
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                o += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline DCT)
+            prec = body[0]
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            height, width = struct.unpack(">HH", body[1:5])
+            nf = body[5]
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append([cid, hv >> 4, hv & 0xF, tq])
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential DCT is supported "
+                f"(SOF marker 0x{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tda = body[1 + 2 * c : 3 + 2 * c]
+                comp = next(x for x in comps if x[0] == cid)
+                scan_comps.append((comp, tda >> 4, tda & 0xF))
+            pos = pos + 2 + seglen
+            break
+        pos = pos + 2 + seglen
+    if width is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    hmax = max(c[0][1] for c in scan_comps)
+    vmax = max(c[0][2] for c in scan_comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # per-component coefficient planes (padded to the MCU grid)
+    planes = [
+        np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
+        for (_cid, h, v, _tq), _td, _ta in scan_comps
+    ]
+    reader = _BitReader(data, pos)
+    preds = [0] * len(scan_comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                reader.restart()
+                preds = [0] * len(scan_comps)
+            mcu_count += 1
+            for ci, ((_cid, h, v, tq), td, ta) in enumerate(scan_comps):
+                dc_tbl = huff[(0, td)]
+                ac_tbl = huff[(1, ta)]
+                q = qt[tq]
+                for by in range(v):
+                    for bx in range(h):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = _decode_huff(reader, dc_tbl)
+                        preds[ci] += _extend(reader.receive(t), t)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(reader, ac_tbl)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            zz[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        # zz is scan-order; q is natural-order -> q[_ZZ]
+                        # realigns the quantizer to scan positions
+                        coef[_ZZ] = zz * q[_ZZ]
+                        block = _C.T @ coef.reshape(8, 8) @ _C
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    # level shift, upsample to full resolution, crop
+    out_planes = []
+    for ci, ((_cid, h, v, _tq), _td, _ta) in enumerate(scan_comps):
+        p = planes[ci] + 128.0
+        if h < hmax or v < vmax:
+            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        out_planes.append(p[:height, :width])
+    if len(out_planes) == 1:
+        return np.clip(out_planes[0], 0, 255).astype(np.uint8)
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported component count {len(out_planes)}")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# -- encoder -----------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.buf >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.buf &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(bw, zz, pred, dc_tab, ac_tab) -> int:
+    diff = int(zz[0]) - pred
+    t = _category(diff)
+    code, length = dc_tab[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_tab[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, length = ac_tab[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def _plane_blocks_fdct(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) float plane -> (H//8, W//8, 64) quantized zigzag coeffs.
+
+    The whole plane is transformed in ONE einsum (orthonormal DCT-II as
+    two 8x8 matmuls over all blocks) and quantized vectorized -- only
+    the entropy coding stage is per-block Python."""
+    hh, ww = plane.shape
+    blocks = plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,ijxy,vy->ijuv", _C, blocks - 128.0, _C)
+    qnat = np.round(coef / q[None, None]).astype(np.int64)
+    return qnat.reshape(hh // 8, ww // 8, 64)[:, :, _ZZ]
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    hh, ww = plane.shape
+    return np.pad(plane, ((0, mh - hh), (0, mw - ww)), mode="edge")
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) or (H, W, 3) uint8 -> baseline JFIF JPEG bytes.
+
+    subsample=True emits 4:2:0 chroma (box-mean downsample); default is
+    4:4:4. restart_interval > 0 emits a DRI segment and RSTn markers
+    every that many MCUs. Uses the T.81 Annex K example Huffman
+    tables."""
+    arr = np.asarray(arr)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    qlum = _quality_scale(_Q_LUM, quality).reshape(8, 8)
+    qchr = _quality_scale(_Q_CHR, quality).reshape(8, 8)
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+        qmap = [qlum]
+    else:
+        px = arr.astype(np.float64)
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            # box-mean 2x2 on chroma (pad odd dims by edge replication)
+            cbp = _pad_to(cb, h + h % 2, w + w % 2)
+            crp = _pad_to(cr, h + h % 2, w + w % 2)
+            cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+            cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qmap = [qlum, qchr, qchr]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # pad each plane to its own MCU-aligned size and FDCT+quantize
+    coefs = []
+    for p, (sh, sv), q in zip(planes, samp, qmap):
+        coefs.append(_plane_blocks_fdct(_pad_to(p, mcuy * sv * 8, mcux * sh * 8), q))
+
+    dc_lum_e = _build_encode_table(*_H_DC_LUM)
+    ac_lum_e = _build_encode_table(*_H_AC_LUM)
+    dc_chr_e = _build_encode_table(*_H_DC_CHR)
+    ac_chr_e = _build_encode_table(*_H_AC_CHR)
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()  # byte-align (1-bit padding per spec)
+                n_rst = mcu_count // restart_interval - 1
+                bw.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                preds = [0] * len(planes)
+            mcu_count += 1
+            for ci, (sh, sv) in enumerate(samp):
+                dc_t = dc_lum_e if ci == 0 else dc_chr_e
+                ac_t = ac_lum_e if ci == 0 else ac_chr_e
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = coefs[ci][my * sv + by, mx * sh + bx]
+                        preds[ci] = _encode_block(bw, zz, preds[ci], dc_t, ac_t)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qlum.reshape(64)[_ZZ].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(qchr.reshape(64)[_ZZ].astype(np.uint8)))
+    nf = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nf])
+    for ci in range(nf):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+
+    def dht(tc: int, th: int, tab) -> bytes:
+        bits, vals = tab
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _H_DC_LUM) + dht(1, 0, _H_AC_LUM)
+    if not gray:
+        out += dht(0, 1, _H_DC_CHR) + dht(1, 1, _H_AC_CHR)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nf])
+    for ci in range(nf):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

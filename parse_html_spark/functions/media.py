@@ -3,11 +3,12 @@ with typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, partitioning,
 fan-out) is real and tested. The codec layer is REAL for every format
-decodable with stdlib + numpy -- PNG (zlib + unfiltering), PPM, and
-16-bit PCM WAV, implemented in functions/codecs.py -- including real
-nearest-neighbor resizing and real pixel/sample statistics features.
-Formats that require external libraries (JPEG, MP4/video containers)
-raise NotImplementedError at the documented plug point when fake=False.
+decodable with stdlib + numpy -- PNG (zlib + unfiltering), PPM, 16-bit
+PCM WAV (functions/codecs.py), and baseline JPEG (sequential DCT,
+functions/jpeg.py) -- including real nearest-neighbor resizing and real
+pixel/sample statistics features. Progressive JPEG and MP4/video
+containers raise NotImplementedError at the documented plug point when
+fake=False (those genuinely need libjpeg/ffmpeg).
 
 fake=True keeps the deterministic crc32-derived stand-in for every
 format, so pipelines and tests run end-to-end on arbitrary payloads.
@@ -52,17 +53,22 @@ def _decode_image(data: bytes):
         return codecs.decode_png(data)
     if kind == "ppm":
         return codecs.decode_ppm(data)
+    if kind == "jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)  # baseline sequential DCT (pure numpy)
     raise NotImplementedError(
         f"decoding {kind!r} requires an external library (PIL/ffmpeg); "
-        "PNG/PPM decode here is real (functions/codecs.py)"
+        "PNG/PPM/baseline-JPEG decode here is real (functions/codecs.py, "
+        "functions/jpeg.py)"
     )
 
 
 def resize_images(df, width: int, height: int, fake: bool = True):
     """mapInPandas resize over (media_ref, payload).
 
-    fake=False does REAL work for PNG/PPM payloads: decode
-    (zlib+unfilter), exact nearest-neighbor resample, re-encode as PNG.
+    fake=False does REAL work for PNG/PPM/baseline-JPEG payloads:
+    decode, exact nearest-neighbor resample, re-encode as PNG.
     fake=True emits a deterministic payload derived from the input bytes
     + target size (any format). Batch shape and schema are identical in
     both modes."""
@@ -138,9 +144,10 @@ def extract_media_features(df, fake: bool = True, dim: int = 8):
     """mapInPandas over (media_ref, payload:binary) -> FEATURE_SCHEMA.
 
     fake=False computes REAL features for stdlib-decodable payloads:
-    per-channel mean/std + luminance histogram for PNG/PPM images,
-    RMS/zero-crossing/duration/band-energy for 16-bit PCM WAV audio
-    (functions/codecs.py). JPEG/video raise at the plug point.
+    per-channel mean/std + luminance histogram for PNG/PPM/baseline-JPEG
+    images, RMS/zero-crossing/duration/band-energy for 16-bit PCM WAV
+    audio (functions/codecs.py, functions/jpeg.py). Progressive JPEG
+    and video raise at the plug point.
     fake=True emits deterministic crc32-seeded features for any bytes.
     """
     import numpy as np
@@ -160,7 +167,7 @@ def extract_media_features(df, fake: bool = True, dim: int = 8):
                     feat = rng.rand(dim).astype("float32").tolist()
                 else:
                     kind = codecs.sniff(data)
-                    if kind in ("png", "ppm"):
+                    if kind in ("png", "ppm", "jpeg"):
                         mtype = "image"
                         feat = codecs.image_features(_decode_image(data), dim)
                     elif kind == "wav":
@@ -169,7 +176,7 @@ def extract_media_features(df, fake: bool = True, dim: int = 8):
                     else:
                         raise NotImplementedError(
                             f"decoding {kind!r} requires PIL/ffmpeg; "
-                            "PNG/PPM/WAV features here are real"
+                            "PNG/PPM/baseline-JPEG/WAV features here are real"
                         )
                 refs.append(ref)
                 types.append(mtype)

@@ -165,11 +165,22 @@ def test_spark_real_resize_and_features(spark):
 
 
 def test_spark_fake_false_raises_on_external_formats(spark):
+    """Formats with no stdlib decode path (e.g. an MP4 container) still
+    raise at the plug point; baseline JPEG no longer does (it has a real
+    decoder in functions/jpeg.py), so a TRUNCATED jpeg now fails as
+    malformed data instead."""
     from parse_html_spark.functions.media import extract_media_features
 
     df = spark.createDataFrame(
-        [("j", bytearray(b"\xff\xd8\xff\xe0rest"))],
+        [("v", bytearray(b"\x00\x00\x00\x18ftypmp42rest-of-box"))],
         "media_ref string, payload binary",
     )
     with pytest.raises(Exception, match="NotImplementedError|PIL|ffmpeg"):
         extract_media_features(df, fake=False).collect()
+
+    trunc = spark.createDataFrame(
+        [("j", bytearray(b"\xff\xd8\xff\xe0rest"))],
+        "media_ref string, payload binary",
+    )
+    with pytest.raises(Exception, match="missing SOF|ValueError"):
+        extract_media_features(trunc, fake=False).collect()

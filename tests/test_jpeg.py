@@ -1,0 +1,136 @@
+"""Baseline JPEG codec (functions/jpeg.py): self-contained round-trip
+tests (encoder and decoder are independent implementations of the same
+public spec -- ITU-T T.81 sequential DCT + JFIF color transform)."""
+
+import numpy as np
+import pytest
+
+from parse_html_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+
+def _smooth_rgb(h=64, w=80):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (yy * 255 // max(1, h - 1)).astype(np.uint8),
+            (xx * 255 // max(1, w - 1)).astype(np.uint8),
+            ((yy + xx) * 255 // (h + w - 2)).astype(np.uint8),
+        ],
+        axis=2,
+    )
+
+
+def _psnr(a, b):
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def test_flat_image_roundtrip_exact():
+    """A flat image has only DC energy -- high-quality round trip must
+    be exact (DC quantizer 1-3, error < 0.5 before rounding)."""
+    flat = np.full((24, 40, 3), 137, dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(flat, quality=95))
+    assert back.shape == flat.shape
+    assert np.array_equal(back, flat)
+
+
+def test_smooth_rgb_roundtrip_quality():
+    img = _smooth_rgb()
+    back = decode_jpeg(encode_jpeg(img, quality=90))
+    assert back.shape == img.shape
+    assert _psnr(img, back) > 32.0
+
+
+def test_grayscale_roundtrip():
+    yy, xx = np.mgrid[0:56, 0:72]
+    g = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(g, quality=90))
+    assert back.shape == g.shape  # (H, W), single component
+    assert _psnr(g, back) > 30.0
+
+
+def test_non_multiple_of_8_dims():
+    """Edge blocks are padded to the MCU grid and cropped on decode."""
+    img = _smooth_rgb(h=37, w=51)
+    back = decode_jpeg(encode_jpeg(img, quality=90))
+    assert back.shape == (37, 51, 3)
+    assert _psnr(img, back) > 30.0
+
+
+def test_chroma_subsampling_420():
+    """4:2:0: one 16x16-luma MCU carries 4 Y blocks + 1 Cb + 1 Cr; a
+    smooth image survives the box-mean downsample + replicate upsample."""
+    img = _smooth_rgb(h=48, w=64)
+    data = encode_jpeg(img, quality=90, subsample=True)
+    data444 = encode_jpeg(img, quality=90, subsample=False)
+    assert len(data) < len(data444)  # fewer chroma blocks -> smaller file
+    back = decode_jpeg(data)
+    assert back.shape == img.shape
+    assert _psnr(img, back) > 28.0
+
+
+def test_restart_markers():
+    """DRI + RSTn: DC predictors reset at every restart interval; the
+    decoder must consume the markers and still reproduce the image."""
+    img = _smooth_rgb(h=40, w=96)  # 5x12 = 60 MCUs at 4:4:4
+    plain = encode_jpeg(img, quality=90)
+    with_rst = encode_jpeg(img, quality=90, restart_interval=4)
+    assert b"\xff\xdd" in with_rst  # DRI segment present
+    assert with_rst.count(b"\xff\xd0") >= 1  # at least one RST0
+    a = decode_jpeg(plain)
+    b = decode_jpeg(with_rst)
+    # restart changes entropy framing only, never pixels
+    assert np.array_equal(a, b)
+
+
+def test_quality_tradeoff_monotone():
+    img = _smooth_rgb()
+    sizes, errs = [], []
+    for q in (30, 60, 90):
+        data = encode_jpeg(img, quality=q)
+        sizes.append(len(data))
+        errs.append(
+            np.abs(decode_jpeg(data).astype(int) - img.astype(int)).mean()
+        )
+    assert sizes[0] < sizes[1] < sizes[2]
+    assert errs[0] >= errs[1] >= errs[2]
+
+
+def test_rejects_progressive_and_garbage():
+    img = _smooth_rgb(16, 16)
+    data = bytearray(encode_jpeg(img))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"NOPE")
+
+
+def test_media_pipeline_decodes_real_jpeg(spark):
+    """The Spark media operators do REAL work on JPEG payloads with
+    fake=False: features come from decoded pixels, resize re-encodes as
+    PNG (media.py plug point now covers baseline JPEG)."""
+    from pyspark.sql import functions as F
+
+    from parse_html_spark.functions.codecs import decode_png
+    from parse_html_spark.functions.media import (
+        extract_media_features,
+        resize_images,
+    )
+
+    img = _smooth_rgb(32, 32)
+    payload = encode_jpeg(img, quality=90)
+    df = spark.createDataFrame(
+        [("media://jpg-1", bytearray(payload))], "media_ref string, payload binary"
+    )
+    feats = extract_media_features(df, fake=False).collect()
+    assert feats[0]["media_type"] == "image"
+    assert len(feats[0]["feature"]) == 8
+    # feature vector is L2-normalized and non-degenerate
+    v = np.array(feats[0]["feature"])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+
+    rs = resize_images(df, 16, 16, fake=False).collect()
+    arr = decode_png(bytes(rs[0]["payload"]))
+    assert arr.shape == (16, 16, 3)
