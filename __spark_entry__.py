@@ -505,6 +505,24 @@ def _q_ivf_topk(spark, sf_dir):
     ).select("vec_id", "cosine")
 
 
+def _q_topk_per_query(spark, sf_dir):
+    """Batch top-k per query row (broadcast the small query side, window-
+    rank the similarities; the corpus vectors never shuffle). Oracle:
+    the same cross join + row_number in DuckDB. Ordering is computed on
+    the ROUNDED cosine with vec_id tiebreak, so ranks are deterministic
+    in both engines."""
+    from parse_html_spark.functions.similarity import cosine_topk_per_query
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = cosine_topk_per_query(emb, queries, k=5)
+    return out.select(
+        "q_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def _q_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH ANN with n_probe_buckets = 2^bits (every bucket
     probed) is EXACT by construction -- the bucketing and multi-probe
@@ -687,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_full": _q_page_full,
         "ivf_topk": _q_ivf_topk,
         "lsh_topk": _q_lsh_topk,
+        "topk_per_query": _q_topk_per_query,
         "node_counts": _q_node_counts,
         "node_descendants": _q_node_descendants,
         "events_window": _q_events_window,
@@ -886,6 +905,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst) "
             "SELECT src AS doc_id, min(dst) AS cluster FROM reach "
             "GROUP BY src"
+        ),
+        "topk_per_query": (
+            "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) "
+            "AS qv FROM embeddings WHERE vec_id < 3), "
+            "s AS (SELECT q.q_id, e.vec_id, round(list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cosine "
+            "FROM embeddings e CROSS JOIN q) "
+            "SELECT q_id, vec_id, cosine, rank FROM ("
+            "SELECT *, CAST(row_number() OVER (PARTITION BY q_id "
+            "ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s) "
+            "WHERE rank <= 5"
         ),
         "lsh_topk": (
             "SELECT vec_id, round(list_cosine_similarity("
