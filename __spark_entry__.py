@@ -505,6 +505,18 @@ def _q_ivf_topk(spark, sf_dir):
     ).select("vec_id", "cosine")
 
 
+def _q_quality(spark, sf_dir):
+    """quality_score (the training-pipeline filter metric) as a pure
+    Column expr, oracle-checked at 4 decimals against the identical
+    arithmetic in DuckDB (stopword ratio, token count, punct ratio)."""
+    from parse_html_spark.functions.textfn import quality_score
+
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
 def _q_topk_per_query(spark, sf_dir):
     """Batch top-k per query row (broadcast the small query side, window-
     rank the similarities; the corpus vectors never shuffle). Oracle:
@@ -694,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_media": _q_spans_media,
         "text_metrics": _q_text_metrics,
         "lang_id": _q_lang_id,
+        "quality": _q_quality,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -819,6 +832,18 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN {lang_score['de']} = {best} THEN 'de' "
             f"WHEN {lang_score['fr']} = {best} THEN 'fr' "
             "ELSE 'es' END AS lang_pred FROM documents"
+        ),
+        "quality": (
+            "SELECT doc_id, round(least(greatest("
+            "0.4 * least((CASE WHEN ntok = 0 THEN 0 ELSE stop / ntok END) "
+            "* 5.0, 1.0) + 0.4 * least(ntok / 100.0, 1.0) "
+            "+ 0.2 * (1.0 - least((CASE WHEN total = 0 THEN 0 ELSE "
+            "punct / total END) * 4.0, 1.0)), 0.0), 1.0), 4) AS quality "
+            "FROM (SELECT doc_id, "
+            f"CASE WHEN trim(text) = '' THEN 0 ELSE len({tok}) END AS ntok, "
+            f"len(list_filter({ltok}, t -> t IN ({stop_list}))) AS stop, "
+            "length(text) AS total, length(text) - length(regexp_replace("
+            "text, '[^\\w\\s]', '', 'g')) AS punct FROM documents)"
         ),
         "fingerprint": f"SELECT doc_id, {fp} AS fp FROM documents",
         "dedup_exact": (
