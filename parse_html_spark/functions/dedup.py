@@ -362,19 +362,31 @@ def tokens_col(text_col):
 def shingles_col(text_col, shingle_words: int = 3):
     """Distinct word-shingles as array<string>, matching _minhash_sig's
     shingling exactly (docs shorter than shingle_words collapse to the
-    single joined-token shingle). Pure Column exprs -- whole-stage
-    codegen, no Python."""
+    single joined-token shingle). Pure Column exprs, no Python.
+
+    MEGA-DOC SAFE: the window array is built by zipping k PRE-SLICED
+    copies of the token array, so tokenization is evaluated O(k) times
+    PER ROW. The obvious alternative -- transform(sequence(1, n-k+1),
+    i -> array_join(slice(toks, i, k))) -- embeds the `toks` expression
+    inside the per-element lambda, and higher-order functions are
+    interpreted (no codegen/CSE): the document would be re-tokenized
+    once per shingle position, O(n * doc_len) -- measured ~17 minutes
+    for ONE 500k-char document vs milliseconds for this form."""
     toks = F.filter(
         F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != ""
     )
     k = shingle_words
     joined = F.array_join(toks, " ")
-    windows = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
+    n_win = F.size(toks) - (k - 1)
+    win = F.slice(toks, 1, n_win)
+    for j in range(1, k):
+        win = F.zip_with(
+            win,
+            F.slice(toks, j + 1, n_win),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(F.size(toks) < k, F.array(joined)).otherwise(
-        F.array_distinct(windows)
+        F.array_distinct(win)
     )
 
 

@@ -93,8 +93,28 @@ def test_stateful_dedup_state_ttl_evicts(spark, tmp_path):
     (memory stays bounded on unbounded streams) and a later
     re-occurrence is emitted again; without TTL it stays suppressed
     forever. Timeouts fire on keys with no data in a trigger, so an
-    intermediate unrelated batch after the TTL elapses drives eviction."""
+    intermediate unrelated batch after the TTL elapses drives eviction.
+
+    With ProcessingTimeTimeout an availableNow query does NOT
+    self-terminate after draining the backlog (it lingers waiting for a
+    future trigger to fire pending timeouts), so each leg is DRAINED to
+    its expected output and stopped explicitly -- otherwise every
+    awaitTermination burns its full timeout and the zombie query
+    degrades the rest of the suite (measured: 553s -> ~40s)."""
     import time
+
+    def drain_and_stop(q, expect_rows, out_dir, timeout=120):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if q.awaitTermination(3):
+                return  # self-terminated
+            try:
+                if spark.read.parquet(out_dir).count() >= expect_rows:
+                    break
+            except Exception:  # noqa: BLE001 -- sink dir not created yet
+                pass
+        q.stop()
+        q.awaitTermination(60)
 
     in_dir = str(tmp_path / "tin")
     out_dir = str(tmp_path / "tout")
@@ -105,7 +125,7 @@ def test_stateful_dedup_state_ttl_evicts(spark, tmp_path):
     # batch 1: docs 0..4 -> emitted, state created with TTL
     write_corpus_parquet(os.path.join(in_dir, "p1.parquet"), 5)
     q = streaming_dedup_first_seen(spark, in_dir, out_dir, ckpt, state_ttl_ms=ttl)
-    q.awaitTermination(180)
+    drain_and_stop(q, 5, out_dir)
     assert spark.read.parquet(out_dir).count() == 5
 
     # batch 2 AFTER the TTL: unrelated keys only -> the idle 0..4
@@ -113,13 +133,13 @@ def test_stateful_dedup_state_ttl_evicts(spark, tmp_path):
     time.sleep(3)
     write_corpus_parquet(os.path.join(in_dir, "p2.parquet"), 3, start=500)
     q2 = streaming_dedup_first_seen(spark, in_dir, out_dir, ckpt, state_ttl_ms=ttl)
-    q2.awaitTermination(180)
+    drain_and_stop(q2, 8, out_dir)
     assert spark.read.parquet(out_dir).count() == 8
 
     # batch 3: docs 0..4 AGAIN -> re-emitted (their state was evicted)
     write_corpus_parquet(os.path.join(in_dir, "p3.parquet"), 5)
     q3 = streaming_dedup_first_seen(spark, in_dir, out_dir, ckpt, state_ttl_ms=ttl)
-    q3.awaitTermination(180)
+    drain_and_stop(q3, 13, out_dir)
     out = spark.read.parquet(out_dir)
     assert out.count() == 13  # 5 + 3 + 5 re-emits
     assert out.select("fp").distinct().count() == 8  # 0..4 appear twice
