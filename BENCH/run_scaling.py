@@ -129,8 +129,10 @@ def main() -> None:
 
 Same extraction job, same deterministic seed-42 corpus
 ({runs[8]["bench_docs"]} span-docs, log-normal sizes + mega-doc tail),
-three parallelism levels in separate JVMs. Timings best-of-2 per query
-(noisy multi-tenant host).
+three parallelism levels in separate JVMs. Timings best-of-3
+interleaved alternating-order passes per query (noisy multi-tenant
+host; a fixed order would always hand the same queries the
+clock-throttled end of a pass).
 
 ## Hardware control (no Spark)
 
