@@ -87,3 +87,14 @@ def test_bucketed_writes_are_size_clustered(spark, tmp_path, corpus):
     for f in glob.glob(out + "/bucket=*/*.parquet"):
         vals = pq.read_table(f, columns=["n_chars"])["n_chars"].to_pylist()
         assert vals == sorted(vals)
+
+
+def test_exploded_rows_generated_jvm_side(spark, corpus):
+    """extract_spans' row form must be the compact map + a JVM Generate
+    (posexplode): exactly ONE Python stage in the plan, and a Generate
+    above it -- per-span rows never exist in Python."""
+    from parse_html_spark.pipeline import extract_spans
+
+    plan = _plan(extract_spans(corpus))
+    assert plan.count("MapInPandas") == 1
+    assert "Generate" in plan and "posexplode" in plan
