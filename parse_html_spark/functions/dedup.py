@@ -121,6 +121,26 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
 
 
+def _cap_hot_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop LSH buckets holding more than ``max_bucket`` members BEFORE
+    the self-join: a bucket of k rows contributes k^2/2 join rows, so
+    one mega-bucket (billions of near-empty or same-template docs all
+    hashing together) is a de-facto cross join. Oversized buckets are
+    overwhelmingly exact-duplicate clusters, which belong to
+    dedup_exact, not the near-dup path; the hot-bucket list is tiny by
+    construction -> broadcast anti-join, mirroring token_jaccard_pairs'
+    max_df guard and the streaming operator's max_bucket_sigs bound."""
+    if max_bucket is None:
+        return banded
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select(*keys)
+    )
+    return banded.join(F.broadcast(hot), keys, "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -128,9 +148,17 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_words: int = 3,
+    max_bucket: int | None = 8192,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that collide in at
-    least one LSH band. Shuffles only band keys, not text."""
+    least one LSH band. Shuffles only band keys, not text.
+
+    SCALE GUARD (ON BY DEFAULT): band buckets larger than ``max_bucket``
+    are dropped before the self-join (see _cap_hot_buckets) -- bounding
+    any single bucket's join contribution to max_bucket^2/2 rows. Run
+    dedup_exact first so identical-text clusters (the usual mega-bucket
+    cause) never reach this operator; pass an explicit max_bucket=None
+    for the uncapped exact candidate set on small corpora."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
     banded = sigs.select(
@@ -144,6 +172,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    banded = _cap_hot_buckets(banded, ["band", "band_hash"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -237,7 +266,11 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int | None = 8192,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -246,7 +279,15 @@ def simhash_near_pairs(
     max_hamming cannot differ in every chunk and MUST collide on at
     least one -- the output is therefore exactly ALL pairs within the
     Hamming radius (oracle-checkable), while shuffling only short
-    (chunk, value, id) keys, never a cross join."""
+    (chunk, value, id) keys, never a cross join.
+
+    SCALE GUARD (ON BY DEFAULT): chunk buckets above ``max_bucket``
+    rows are dropped before the self-join (a mega-bucket of k
+    same-signature docs is k^2/2 join rows -- see _cap_hot_buckets).
+    Under the cap the pigeonhole exactness holds only for pairs whose
+    shared chunks all fit the cap; identical-text clusters belong to
+    dedup_exact upstream. Explicit max_bucket=None restores the
+    unconditionally lossless (unbounded) form."""
     n_chunks = max(4, max_hamming + 1)
     w = 64 // n_chunks
     widths = [w] * (n_chunks - 1) + [64 - w * (n_chunks - 1)]
@@ -266,6 +307,7 @@ def simhash_near_pairs(
             )
         ).alias("chunk", "chunk_val"),
     )
+    chunks = _cap_hot_buckets(chunks, ["chunk", "chunk_val"], max_bucket)
     a, b = chunks.alias("a"), chunks.alias("b")
     joined = a.join(
         b,
@@ -432,6 +474,7 @@ def minhash_near_duplicates(
     bands: int = 32,
     shingle_words: int = 3,
     min_jaccard: float = 0.6,
+    max_bucket: int | None = 8192,
 ) -> DataFrame:
     """MinHash-LSH candidates VERIFIED by exact shingle Jaccard -- the
     production near-dup operator: banding bounds candidate generation
@@ -449,6 +492,7 @@ def minhash_near_duplicates(
         num_hashes=num_hashes,
         bands=bands,
         shingle_words=shingle_words,
+        max_bucket=max_bucket,
     )
     return jaccard_verify_pairs(
         df,

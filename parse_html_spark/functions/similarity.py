@@ -207,13 +207,23 @@ def lsh_candidate_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    max_bucket: int | None = 8192,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) colliding in >= 1 of
     ``tables`` independent random-hyperplane sign buckets. The multi-
     table OR drives recall toward 1 for near-identical vectors (a pair
     at angle theta agrees on one table w.p. (1 - theta/pi)^bits and is
     missed by all tables w.p. (1 - (1-theta/pi)^bits)^tables). Shuffles
-    only (table, bucket, id) tuples -- never vectors, never all-pairs."""
+    only (table, bucket, id) tuples -- never vectors, never all-pairs.
+
+    SCALE GUARD (ON BY DEFAULT): buckets above ``max_bucket`` members
+    are dropped before the self-join (a k-member bucket is k^2/2 join
+    rows; highly-clustered embeddings can funnel a large corpus
+    fraction into one sign bucket). The principled fix for persistent
+    hot buckets is more bits per table; the cap bounds the accidental
+    quadratic meanwhile. Explicit max_bucket=None disables."""
+    from .dedup import _cap_hot_buckets
+
     vec = F.col(vec_col)
     buckets = F.array(
         *[
@@ -224,6 +234,7 @@ def lsh_candidate_pairs(
     banded = df.select(
         F.col(id_col), F.posexplode(buckets).alias("tbl", "bucket")
     )
+    banded = _cap_hot_buckets(banded, ["tbl", "bucket"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -249,6 +260,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    max_bucket: int | None = 8192,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: multi-table hyperplane-LSH
     candidates VERIFIED by exact cosine -- the embedding twin of
@@ -258,7 +270,7 @@ def embedding_near_duplicates(
     Column exprs. Output: (id_a, id_b, cosine >= min_cosine)."""
     pairs = lsh_candidate_pairs(
         df, dim, tables=tables, bits=bits, vec_col=vec_col,
-        id_col=id_col, seed=seed,
+        id_col=id_col, seed=seed, max_bucket=max_bucket,
     )
     t = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     a = t.select(F.col("_vid").alias("id_a"), F.col("_v").alias("_va"))

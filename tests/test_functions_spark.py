@@ -385,3 +385,35 @@ def test_simhash_batch_invariant_to_empty_neighbors(spark):
     for i in got_alone:
         assert got_mixed[i] == got_alone[i], i
     assert got_mixed[1] == 0 and got_mixed[3] == 0
+
+
+def test_lsh_hot_bucket_cap_bounds_join(spark):
+    """Hot-bucket guard (default ON): a mega-bucket of identical
+    signatures would be a k^2/2 self-join; under the cap its buckets
+    are dropped before the join, while distinctive near-dups in small
+    buckets still pair up."""
+    from parse_html_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+
+    same = [(i, "identical boilerplate text repeated") for i in range(200)]
+    pair = [
+        (1000, "rare unique words alpha beta gamma delta"),
+        (1001, "rare unique words alpha beta gamma delta epsilon"),
+    ]
+    df = spark.createDataFrame(same + pair, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, max_bucket=50).collect()
+    }
+    # the 200-strong identical cluster is suppressed (dedup_exact's job);
+    # the small-bucket near-dup pair survives
+    assert (1000, 1001) in capped
+    assert not any(a < 1000 and b < 1000 for a, b in capped)
+    # uncapped form still yields the full quadratic candidate set
+    assert minhash_lsh_pairs(df, max_bucket=None).count() == 200 * 199 // 2 + 1
+    sim = simhash_near_pairs(df, max_hamming=4, max_bucket=50)
+    got = {(r["id_a"], r["id_b"]) for r in sim.collect()}
+    # the identical-signature mega-cluster is suppressed under the cap
+    assert not any(a < 1000 and b < 1000 for a, b in got)
