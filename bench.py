@@ -61,7 +61,7 @@ def main() -> None:
 
     tasks: list[tuple[str, object]] = []
 
-    def timed(name: str, fn, reps: int = 2) -> None:
+    def timed(name: str, fn) -> None:
         # queries are REGISTERED here and executed in interleaved full
         # passes by run_tasks(): per-query back-to-back reps give early
         # queries a cold machine and late queries a clock-throttled one

@@ -10,12 +10,26 @@ All hashing is deterministic (md5/crc32 with fixed seeds) so results are
 stable across runs, partitionings and cluster sizes.
 """
 
+import re
 import zlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .textfn import fingerprint
+
+# ASCII-whitespace tokenizer shared by every PYTHON-side text split in
+# this module: Python's str.split() splits on UNICODE whitespace
+# (U+00A0, U+2009, ...) while the JVM column twins (F.split r"\s+",
+# Java regex) and the DuckDB oracles (RE2 \s) are ASCII-only -- on a
+# non-ASCII-whitespace corpus the Python minhash banding and the JVM
+# verify/oracle stages would disagree on token boundaries. re.ASCII
+# pins \s to [ \t\n\r\f\v], matching the JVM set.
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
+def _ascii_tokens(text: str) -> list[str]:
+    return [t for t in _WS_ASCII.split(text) if t]
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -77,7 +91,7 @@ def _minhash_sig(text: str, num_hashes: int, shingle_words: int, coeffs=None) ->
     product -- no per-seed Python loop."""
     import numpy as np
 
-    toks = text.lower().split()
+    toks = _ascii_tokens(text.lower())
     if len(toks) < shingle_words:
         shingles = {" ".join(toks)} if toks else {""}
     else:
@@ -127,18 +141,25 @@ def _cap_hot_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None)
     one mega-bucket (billions of near-empty or same-template docs all
     hashing together) is a de-facto cross join. Oversized buckets are
     overwhelmingly exact-duplicate clusters, which belong to
-    dedup_exact, not the near-dup path; the hot-bucket list is tiny by
-    construction -> broadcast anti-join, mirroring token_jaccard_pairs'
-    max_df guard and the streaming operator's max_bucket_sigs bound."""
+    dedup_exact, not the near-dup path. Mirrors token_jaccard_pairs'
+    max_df guard and the streaming operator's max_bucket_sigs bound.
+
+    Implemented as a WINDOW count over the bucket keys rather than an
+    aggregate + anti-join: the anti-join form would evaluate the
+    ``banded`` subtree -- whose signature computation (pandas-UDF
+    minhash / hyperplane dot products) is the dominant cost -- a third
+    time for the count; the window rides the one exchange its own
+    partitioning needs and adds no extra pass."""
     if max_bucket is None:
         return banded
-    hot = (
-        banded.groupBy(*keys)
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") > max_bucket)
-        .select(*keys)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bucket_n", F.count("*").over(w))
+        .filter(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
     )
-    return banded.join(F.broadcast(hot), keys, "left_anti")
 
 
 def minhash_lsh_pairs(
@@ -213,7 +234,8 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     hash_cache: dict[str, int] = {}
 
     def _batch(texts: pd.Series) -> pd.Series:
-        tok_lists = [(t or "").lower().split() for t in texts]
+        # ASCII split: must match the DuckDB oracle's RE2 \s+ tokenizer
+        tok_lists = [_ascii_tokens((t or "").lower()) for t in texts]
         lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64, count=len(tok_lists))
         total = int(lens.sum())
         if total == 0:

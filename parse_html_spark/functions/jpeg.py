@@ -231,7 +231,19 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> (H, W) uint8 (grayscale) or (H, W, 3) uint8 RGB."""
+    """Baseline JPEG -> (H, W) uint8 (grayscale) or (H, W, 3) uint8 RGB.
+
+    Malformed input (truncated entropy data, missing tables, bad
+    segment structure) raises ValueError -- never a bare IndexError /
+    KeyError from the bit reader, so callers can match one exception
+    type for undecodable web-crawled payloads."""
+    try:
+        return _decode_jpeg_impl(data)
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"truncated or malformed JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if data[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
@@ -245,6 +257,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker -- consume the run so the real marker byte is read
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -300,6 +316,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
+            if comps and ns != len(comps):
+                # legal per T.81 (one scan per component) but this
+                # decoder only implements the interleaved single-scan
+                # layout -- decoding the first scan with interleaved
+                # MCU geometry would produce silently wrong pixels
+                raise ValueError(
+                    "non-interleaved (multi-scan) baseline JPEG not "
+                    f"supported (scan has {ns} of {len(comps)} components)"
+                )
             scan_comps = []
             for c in range(ns):
                 cid, tda = body[1 + 2 * c : 3 + 2 * c]

@@ -138,19 +138,30 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels
 
 
-def _parquet_meta_rows(path: str) -> int:
-    """Row count from parquet FOOTERS only (driver-side, no Spark job,
-    no data scan) -- the stand-in for an Iceberg manifest row count."""
+def _parquet_meta_rows(spark, path: str) -> int:
+    """Row count without a data scan. For local paths: parquet FOOTERS
+    only, driver-side, no Spark job (the stand-in for an Iceberg
+    manifest row count). For remote filesystems (s3a://, hdfs://) or
+    glob patterns pyarrow cannot open, fall back to a Spark count() --
+    a columnless parquet scan that reads row counts from row-group
+    metadata, still no column data."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
-    if os.path.isdir(path):
-        files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    else:
-        files = [path]
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    try:
+        if os.path.isdir(path):
+            files = glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            )
+        elif os.path.isfile(path):
+            files = [path]
+        else:
+            raise FileNotFoundError(path)
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except (OSError, ValueError):
+        return spark.read.parquet(path).count()
 
 
 def prepare_training_corpus(
@@ -172,7 +183,7 @@ def prepare_training_corpus(
 
     from .pipeline import extract_docs
 
-    n_in = _parquet_meta_rows(input_path)
+    n_in = _parquet_meta_rows(spark, input_path)
     raw = spark.read.parquet(input_path)
     # fused extract+reassemble: one map pass, no span-row shuffle
     docs = extract_docs(prepare_partitions(raw, partitions))

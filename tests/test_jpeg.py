@@ -134,3 +134,52 @@ def test_media_pipeline_decodes_real_jpeg(spark):
     rs = resize_images(df, 16, 16, fake=False).collect()
     arr = decode_png(bytes(rs[0]["payload"]))
     assert arr.shape == (16, 16, 3)
+
+
+def test_malformed_inputs_raise_valueerror():
+    """Review findings: truncated entropy data / missing tables surface
+    as ValueError (one matchable type), never a bare IndexError."""
+    img = _smooth_rgb(16, 16)
+    data = encode_jpeg(img)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 2])  # cut mid-scan
+    # chop right after the SOS header (entropy data empty)
+    sos = data.find(b"\xff\xda")
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: sos + 14])
+
+
+def test_fill_bytes_before_markers():
+    """T.81 B.1.1.2: 0xFF fill bytes before a marker are legal; inject
+    them before DQT/SOF/SOS and the decoder must still parse."""
+    import numpy as np
+
+    img = _smooth_rgb(16, 16)
+    data = encode_jpeg(img)
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xda"):
+        at = data.find(marker)
+        padded = data[:at] + b"\xff\xff\xff" + data[at:]
+        assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))
+
+
+def test_non_interleaved_multiscan_rejected():
+    """A 3-component SOF with a 1-component first SOS (legal
+    non-interleaved layout) must raise, not silently decode the Y scan
+    with interleaved geometry."""
+    img = _smooth_rgb(16, 16)
+    data = bytearray(encode_jpeg(img))
+    sos = data.find(b"\xff\xda")
+    import struct as _s
+
+    # SOS: FF DA len(2) ns [id td/ta]*ns Ss Se AhAl -> rewrite to ns=1
+    # keeping only the first component pair, with a corrected length
+    seg = (
+        b"\xff\xda"
+        + _s.pack(">H", 2 + 1 + 2 + 3)
+        + bytes([1])
+        + data[sos + 5 : sos + 7]
+        + data[sos + 11 : sos + 14]
+    )
+    patched = bytes(data[:sos]) + seg + bytes(data[sos + 14 :])
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(patched)
