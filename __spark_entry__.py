@@ -27,35 +27,126 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _variant_col():
+    """Structural variant selector: doc_id % 4 (same expression the
+    oracle SQL uses, so both sides agree per row)."""
+    return F.pmod(F.col("doc_id").cast("bigint"), F.lit(4))
+
+
 def _wrapped_html_col():
     """Deterministic HTML wrapping of a documents row (nav/header
-    boilerplate + main region + kv table + form + footer)."""
-    return F.concat(
-        F.lit("<html><head><title>T"),
-        F.col("doc_id").cast("string"),
-        F.lit('</title></head><body><nav class="menu"><a href="/x">x</a> '),
-        F.lit('<a href="/y">y</a></nav>'),
-        F.lit('<div id="main" class="content main"><p class="lead" data-n="'),
+    boilerplate + main region + kv table + form + footer).
+
+    The structural shape is PARAMETERIZED by doc_id % 4 so the oracle
+    corpus exercises four distinct document skeletons (not one fixed
+    template) while every oracle stays predictable from the documents
+    columns:
+
+    v0  the original flat wrapper.
+    v1  #main nested two levels deep (<div id=wrap><section>), the lead
+        <p> carries a DUPLICATE data-n attribute (first-wins quirk,
+        SURVEY 2.11 R5 / ParseHTML.php extractAttributes) and a junk
+        close tag </foo> precedes </div> (quirk 13: junk closers do not
+        close -- they stay markup and strip out of text()).
+    v2  a third span.m, a second (aux) table, and a <select> control in
+        the form (option-value list extraction).
+    v3  #main with an extra class word, void elements <br><hr> inside
+        #main, a junk closer </item> between spans, and a <textarea>
+        control in the form (raw-contents extraction).
+    """
+    v = _variant_col()
+    lead_p = lambda dup: F.concat(  # noqa: E731
+        F.lit('<p class="lead" data-n="'),
         F.col("n_chars").cast("string"),
-        F.lit('" title="Mari '),
+        F.lit('" data-n="999' if dup else '"'),
+        F.lit('" title="Mari ') if dup else F.lit(' title="Mari '),
         F.col("lang"),
         F.lit('">'),
         F.col("text"),
-        F.lit('</p></div><span class="m">'),
+        F.lit("</p>"),
+    )
+    main = (
+        F.when(
+            v == 1,
+            F.concat(
+                F.lit('<div id="wrap" class="outer"><section>'
+                      '<div id="main" class="content main">'),
+                lead_p(True),
+                F.lit("</foo></div></section></div>"),
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit('<div id="main" class="content main extra">'),
+                lead_p(False),
+                F.lit("<br><hr></div>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<div id="main" class="content main">'),
+                lead_p(False),
+                F.lit("</div>"),
+            )
+        )
+    )
+    spans = F.concat(
+        F.lit('<span class="m">'),
         F.col("lang"),
         F.lit('</span><span class="m">'),
         F.col("source"),
-        F.lit('</span><table class="kv" data-kind="top-'),
+        F.lit("</span>"),
+        F.when(v == 2, F.lit('<span class="m">z</span>'))
+        .when(v == 3, F.lit("</item>"))
+        .otherwise(F.lit("")),
+    )
+    tables = F.concat(
+        F.lit('<table class="kv" data-kind="top-'),
         F.col("source"),
         F.lit('"><tr><td>'),
         F.col("lang"),
         F.lit("</td><td>"),
         F.col("source"),
-        F.lit('</td></tr></table><form><input type="text" name="lang" value="'),
+        F.lit("</td></tr></table>"),
+        F.when(
+            v == 2, F.lit('<table class="aux"><tr><td>ax</td></tr></table>')
+        ).otherwise(F.lit("")),
+    )
+    form = F.concat(
+        F.lit('<form><input type="text" name="lang" value="'),
         F.col("lang"),
         F.lit('"><input type="text" name="source" value="'),
         F.col("source"),
-        F.lit('"><input type="submit" name="go" value="S"></form>'),
+        F.lit('">'),
+        F.when(
+            v == 2,
+            F.concat(
+                F.lit('<select name="sel"><option value="o'),
+                F.col("lang"),
+                F.lit('">A</option><option value="p">B</option></select>'),
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit('<textarea name="note">n-'),
+                F.col("lang"),
+                F.lit("</textarea>"),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.lit('<input type="submit" name="go" value="S"></form>'),
+    )
+    return F.concat(
+        F.lit("<html><head><title>T"),
+        F.col("doc_id").cast("string"),
+        F.lit('</title></head><body><nav class="menu"><a href="/x">x</a> '),
+        F.lit('<a href="/y">y</a></nav>'),
+        main,
+        spans,
+        tables,
+        form,
         F.lit('<footer><a href="/c">c</a></footer></body></html>'),
     )
 
@@ -761,21 +852,35 @@ def oracle_sql() -> dict[str, str]:
     return {
         "selector_text": "SELECT doc_id, text AS extracted FROM documents",
         "selector_attr": "SELECT doc_id, n_chars AS n_chars_attr FROM documents",
-        "selector_id": "SELECT doc_id, 'content main' AS cls FROM documents",
+        "selector_id": (
+            "SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN 'content main extra' "
+            "ELSE 'content main' END AS cls FROM documents"
+        ),
         "condition_numeric": "SELECT doc_id FROM documents WHERE n_chars > 500",
         "eq_second": "SELECT doc_id, source AS second FROM documents",
-        "multi_union": "SELECT doc_id, 5 AS n_matches FROM documents",
+        "multi_union": (
+            "SELECT doc_id, CASE WHEN doc_id % 4 = 2 THEN 6 ELSE 5 END "
+            "AS n_matches FROM documents"
+        ),
         "extract_table": (
             "SELECT doc_id, '[\"' || lang || '\", \"' || source || '\"]' "
-            "AS cells_json FROM documents"
+            "AS cells_json FROM documents "
+            "UNION ALL SELECT doc_id, '\"ax\"' AS cells_json FROM documents "
+            "WHERE doc_id % 4 = 2"
         ),
         "extract_form": (
             "SELECT doc_id, '{\"lang\": \"' || lang || '\", \"source\": \"' "
-            "|| source || '\", \"go\": \"S\"}' AS form_json FROM documents"
+            "|| source || '\"' || CASE WHEN doc_id % 4 = 2 THEN "
+            "', \"sel\": [\"o' || lang || '\", \"p\"]' "
+            "WHEN doc_id % 4 = 3 THEN ', \"note\": \"n-' || lang || '\"' "
+            "ELSE '' END || ', \"go\": \"S\"}' AS form_json FROM documents"
         ),
         "post_form": (
             "SELECT doc_id, '{\"lang\": \"' || lang || '\", \"source\": \"' "
-            "|| source || '\"}' AS form_json FROM documents"
+            "|| source || '\"' || CASE WHEN doc_id % 4 = 2 THEN "
+            "', \"sel\": [\"o' || lang || '\", \"p\"]' "
+            "WHEN doc_id % 4 = 3 THEN ', \"note\": \"n-' || lang || '\"' "
+            "ELSE '' END || '}' AS form_json FROM documents"
         ),
         "op_contains": (
             "SELECT doc_id, 'Mari ' || lang AS title FROM documents"
@@ -800,11 +905,16 @@ def oracle_sql() -> dict[str, str]:
         "value_only": ("SELECT doc_id, lang AS val FROM documents"),
         "text_striptags": (
             "SELECT doc_id, 'T' || doc_id || 'x y' || text || lang || source "
-            "|| lang || source || 'c' AS full_text FROM documents"
+            "|| CASE WHEN doc_id % 4 = 2 THEN 'z' ELSE '' END "
+            "|| lang || source "
+            "|| CASE WHEN doc_id % 4 = 2 THEN 'axAB' "
+            "WHEN doc_id % 4 = 3 THEN 'n-' || lang ELSE '' END "
+            "|| 'c' AS full_text FROM documents"
         ),
         "traversal": (
             "SELECT doc_id, 'main' AS parent_id, lang AS prev_text, "
-            "'main' AS next_tag FROM documents"
+            "CASE WHEN doc_id % 4 = 1 THEN 'wrap' ELSE 'main' END "
+            "AS next_tag FROM documents"
         ),
         "spans_main": (
             'SELECT doc_id, 0 AS "order", \'text\' AS kind, text, '
@@ -958,10 +1068,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "page_full": (
             "SELECT doc_id, 'T' || doc_id AS title, "
-            "CAST(21 AS BIGINT) AS n_nodes, "
-            "'[[\"' || lang || '\", \"' || source || '\"]]' AS tables_json, "
+            "CAST(CASE doc_id % 4 WHEN 0 THEN 21 WHEN 1 THEN 23 "
+            "WHEN 2 THEN 28 ELSE 24 END AS BIGINT) AS n_nodes, "
+            "'[[\"' || lang || '\", \"' || source || '\"]' || "
+            "CASE WHEN doc_id % 4 = 2 THEN ', \"ax\"]' ELSE ']' END "
+            "AS tables_json, "
             "'{\"lang\": \"' || lang || '\", \"source\": \"' || source "
-            "|| '\", \"go\": \"S\"}' AS form_json FROM documents"
+            "|| '\"' || CASE WHEN doc_id % 4 = 2 THEN "
+            "', \"sel\": [\"o' || lang || '\", \"p\"]' "
+            "WHEN doc_id % 4 = 3 THEN ', \"note\": \"n-' || lang || '\"' "
+            "ELSE '' END || ', \"go\": \"S\"}' AS form_json FROM documents"
         ),
         "embed_near_dup": (
             "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
@@ -983,11 +1099,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
         "node_counts": (
-            "SELECT doc_id, 21 AS n_nodes, 2 AS n_td, 3 AS n_input "
-            "FROM documents"
+            "SELECT doc_id, CAST(CASE doc_id % 4 WHEN 0 THEN 21 WHEN 1 THEN 23 "
+            "WHEN 2 THEN 28 ELSE 24 END AS BIGINT) AS n_nodes, "
+            "CAST(CASE WHEN doc_id % 4 = 2 THEN 3 ELSE 2 END AS BIGINT) AS n_td, "
+            "CAST(3 AS BIGINT) AS n_input FROM documents"
         ),
         "node_descendants": (
-            "SELECT doc_id, 2 AS n_td_under_table FROM documents"
+            "SELECT doc_id, CAST(CASE WHEN doc_id % 4 = 2 THEN 3 ELSE 2 END "
+            "AS BIGINT) AS n_td_under_table FROM documents"
         ),
         "events_window": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') "
