@@ -86,21 +86,43 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42):
     return rng.randn(bits, dim).astype("float64")
 
 
+def lsh_buckets_col(vec_col, planes_stack, bits: int) -> "F.Column":
+    """ALL hyperplane sign-bucket ids in ONE Arrow-batched matmul.
+
+    ``planes_stack`` is the (tables*bits, dim) float64 stack of every
+    table's hyperplanes; the pandas_udf computes the whole signature set
+    per batch as V @ P.T (one BLAS call), packs sign bits per table, and
+    returns array<bigint> of per-table bucket ids. This replaces the old
+    per-plane `aggregate(zip_with(...))` Column chain: higher-order
+    functions are INTERPRETED (no codegen/CSE), so tables=8 x bits=12
+    cost 96 interpreted O(dim) dot products per row -- the dominant cost
+    at a billion embeddings. One matmul per Arrow batch is ~100x less
+    Python/expr overhead and the join side is unchanged."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.ascontiguousarray(planes_stack, dtype=np.float64)
+    n_tables = P.shape[0] // bits
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    def f(s):
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in s.values])
+        signs = (V @ P.T) > 0  # (batch, tables*bits)
+        buckets = signs.reshape(len(s), n_tables, bits).astype(np.int64) @ weights
+        return pd.Series(list(buckets))
+
+    return pandas_udf(f, "array<bigint>")(vec_col)
+
+
 def lsh_bucket_col(vec_col, planes) -> "F.Column":
-    """Sign-bit bucket id from seeded random hyperplanes (JVM-side)."""
-    bucket = F.lit(0)
-    for i, row in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(x)) for x in row]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+    """Single-table sign-bit bucket id (one-element lsh_buckets_col)."""
+    import numpy as np
+
+    planes = np.asarray(planes, dtype=np.float64)
+    return F.element_at(lsh_buckets_col(vec_col, planes, len(planes)), 1)
 
 
 def ivf_assignments(
@@ -111,31 +133,27 @@ def ivf_assignments(
     seed: int = 42,
 ) -> DataFrame:
     """IVF coarse quantizer with SEEDED random centroids (deterministic,
-    no training pass): cell = argmax centroid dot product. At scale the
-    corpus is bucketed once at ingest and queries probe only their cell
+    no training pass): cell = argmax centroid dot product, computed for
+    the whole Arrow batch as one V @ C.T matmul + argmax (ties -> first
+    max, matching the strict `>` fold it replaces). At scale the corpus
+    is bucketed once at ingest and queries probe only their cell
     (+ neighbors), cutting scored candidates ~n_cells-fold."""
     import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     rng = np.random.RandomState(seed)
     cents = rng.randn(n_cells, dim)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    C = np.ascontiguousarray(cents)
 
-    best_cell = F.lit(0)
-    best_dot = F.lit(float("-inf"))
-    for c, row in enumerate(cents):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in row]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        improved = dot > best_dot
-        best_cell = F.when(improved, F.lit(c)).otherwise(best_cell)
-        best_dot = F.when(improved, dot).otherwise(best_dot)
-    return df.withColumn("_ivf_cell", best_cell)
+    def f(s):
+        if len(s) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in s.values])
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
+
+    return df.withColumn("_ivf_cell", pandas_udf(f, "int")(F.col(vec_col)))
 
 
 def ivf_cosine_topk(
@@ -222,15 +240,14 @@ def lsh_candidate_pairs(
     fraction into one sign bucket). The principled fix for persistent
     hot buckets is more bits per table; the cap bounds the accidental
     quadratic meanwhile. Explicit max_bucket=None disables."""
+    import numpy as np
+
     from .dedup import _cap_hot_buckets
 
-    vec = F.col(vec_col)
-    buckets = F.array(
-        *[
-            lsh_bucket_col(vec, _hyperplanes(dim, bits, seed + 1000 * t))
-            for t in range(tables)
-        ]
+    stack = np.vstack(
+        [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
     )
+    buckets = lsh_buckets_col(F.col(vec_col), stack, bits)
     banded = df.select(
         F.col(id_col), F.posexplode(buckets).alias("tbl", "bucket")
     )
