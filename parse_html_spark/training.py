@@ -99,7 +99,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("cluster", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    # Convergence probing is kept OFF the per-round critical path: the
+    # previous cluster rides each round's labels as a `_prev` column (no
+    # extra join), and the driver-side changed-check runs only every
+    # `check_every` rounds -- the eager localCheckpoint is the one
+    # blocking action per round, and the check itself is a limit(1)
+    # count over already-checkpointed data.
+    check_every = 2
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.doc_id)
             .groupBy(F.col("id_a").alias("doc_id"))
@@ -107,6 +114,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         stepped = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
+            F.col("cluster").alias("_prev"),
             F.least(
                 F.col("cluster"), F.coalesce("n_cluster", "cluster")
             ).alias("cluster"),
@@ -122,19 +130,19 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .select(
                 "doc_id",
                 F.coalesce("_ccl", "cluster").alias("cluster"),
+                "_prev",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        labels = new_labels.select("doc_id", "cluster")
+        if it % check_every == check_every - 1 or it == max_iter - 1:
+            changed = (
+                new_labels.filter(F.col("cluster") != F.col("_prev"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
     return labels
 
 
@@ -147,6 +155,7 @@ def _parquet_meta_rows(spark, path: str) -> int:
     metadata, still no column data."""
     import glob
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
@@ -155,11 +164,24 @@ def _parquet_meta_rows(spark, path: str) -> int:
             files = glob.glob(
                 os.path.join(path, "**", "*.parquet"), recursive=True
             )
+            if not files:
+                # a directory with no parquet files is NOT "0 rows" --
+                # fall through to the Spark read, which raises the same
+                # unable-to-infer error the old raw.count() path did
+                raise FileNotFoundError(f"no *.parquet under {path}")
         elif os.path.isfile(path):
             files = [path]
         else:
             raise FileNotFoundError(path)
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if len(files) == 1:
+            return pq.ParquetFile(files[0]).metadata.num_rows
+        # footer reads are tiny IO-bound opens (GIL released): at 100 TB
+        # (~100k files) a sequential driver loop is minutes before the
+        # job starts; a thread pool keeps it seconds
+        with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+            return sum(
+                ex.map(lambda f: pq.ParquetFile(f).metadata.num_rows, files)
+            )
     except (OSError, ValueError):
         return spark.read.parquet(path).count()
 

@@ -69,6 +69,45 @@ def test_parquet_filter_pushdown_plan(spark):
     assert "PushedFilters" in plan and "n_chars" in plan
     assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200]
 
+def test_parquet_meta_rows_many_files(spark, tmp_path):
+    """10k-file footer count: the thread-pool footer reader must count a
+    wide layout correctly and in seconds (the sequential driver loop it
+    replaced is minutes at 100k files). Files are hardlinks of one 3-row
+    parquet, so the test costs one write + 9,999 links."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parse_html_spark.training import _parquet_meta_rows
+
+    d = tmp_path / "many"
+    d.mkdir()
+    base = d / "part-00000.parquet"
+    pq.write_table(pa.table({"doc_id": [1, 2, 3]}), base)
+    for i in range(1, 10_000):
+        os.link(base, d / f"part-{i:05d}.parquet")
+    t0 = time.time()
+    assert _parquet_meta_rows(spark, str(d)) == 30_000
+    wall = time.time() - t0
+    assert wall < 60, f"footer count took {wall:.0f}s"
+
+
+def test_parquet_meta_rows_empty_dir_raises(spark, tmp_path):
+    """A directory with NO parquet files must raise (via the Spark
+    fallback), not silently report 0 rows."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from parse_html_spark.training import _parquet_meta_rows
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    with pytest.raises(AnalysisException):
+        _parquet_meta_rows(spark, str(d))
+
+
 def test_dup_clusters_long_chain_pointer_jumping(spark):
     """A 10k-pair CHAIN graph (diameter 10k): plain neighbor-min label
     propagation needs O(n) rounds; pointer jumping converges in
