@@ -1,9 +1,11 @@
-"""PNG decode throughput per scanline filter (no Spark; numpy-only).
+"""PNG + JPEG codec throughput (no Spark; numpy-only).
 
-Measures decode MB/s of raw pixel output for synthetic RGB images whose
+PNG: decode MB/s of raw pixel output for synthetic RGB images whose
 every scanline uses one fixed filter type, by round-tripping through a
 reference filter-encoder and parse_html_spark.functions.codecs.decode_png.
-Writes/refreshes the "PNG decode throughput" section of BENCH/CODECS.md.
+JPEG: encode/decode MB/s of the pure-Python baseline codec
+(functions/jpeg.py) for gray, RGB 4:4:4 and RGB 4:2:0 variants.
+Rewrites BENCH/CODECS.md.
 
 Usage: python tools/bench_codecs.py [side_px] [reps]
 """
@@ -110,6 +112,54 @@ def main() -> None:
         "pixels BY SPEC (each decoded pixel feeds the next prediction) and",
         "run a per-pixel Python loop vectorized across channels; their",
         "MB/s above is the honest cost envelope per decoded megapixel.",
+        "",
+    ]
+
+    # -- JPEG (pure-Python baseline codec) --------------------------------
+    from parse_html_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    lines += [
+        "# JPEG codec throughput (functions/jpeg.py)",
+        "",
+        f"Same {side}x{side} synthetic image, quality 85; best of {reps} "
+        "reps, single thread. MB/s measured on raw pixel bytes.",
+        "",
+        "| variant | encode MB/s | decode MB/s |",
+        "|---|---|---|",
+    ]
+    variants = [
+        ("gray", img[:, :, 0], {}),
+        ("RGB 4:4:4", img, {}),
+        ("RGB 4:2:0", img, {"subsample": True}),
+        ("RGB 4:2:0 + DRI", img, {"subsample": True, "restart_interval": 8}),
+    ]
+    for name, src, kw in variants:
+        mbv = src.nbytes / 1e6
+        data = encode_jpeg(src, quality=85, **kw)
+        out_img = decode_jpeg(data)
+        assert out_img.shape == src.shape, (name, out_img.shape)
+        enc_best = dec_best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            encode_jpeg(src, quality=85, **kw)
+            enc_best = min(enc_best, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            decode_jpeg(data)
+            dec_best = min(dec_best, time.perf_counter() - t0)
+        lines.append(f"| {name} | {mbv / enc_best:.1f} | {mbv / dec_best:.1f} |")
+        print(
+            f"jpeg {name}: enc {mbv / enc_best:.1f} MB/s, "
+            f"dec {mbv / dec_best:.1f} MB/s",
+            file=sys.stderr,
+        )
+    lines += [
+        "",
+        "Encode is numpy-batched (whole-plane FDCT) except the per-block",
+        "Huffman bit-writer; decode is a per-block Python Huffman",
+        "bit-reader BY NECESSITY (entropy decode is inherently serial).",
+        "Single-digit MB/s is the honest 'no external deps' envelope --",
+        "bulk image corpora should use the documented external-decoder",
+        "plug point (media.py), same as progressive JPEG/video.",
         "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "CODECS.md")
