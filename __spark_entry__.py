@@ -584,15 +584,18 @@ def _q_dup_clusters(spark, sf_dir):
 
 def _q_ivf_topk(spark, sf_dir):
     """IVF ANN with n_probe = n_cells (all cells probed) is EXACT by
-    construction, so the approximate-search machinery (seeded coarse
-    quantizer, cell pruning, per-cell scoring) is oracle-checked against
-    the same brute-force SQL as cosine_topk."""
+    construction, so the approximate-search machinery (TRAINED k-means
+    coarse quantizer, cell pruning, per-cell scoring) is oracle-checked
+    against the same brute-force SQL as cosine_topk. train=True runs
+    the full seeded spherical-k-means pass (ivf_train_centroids), so
+    the training path itself sits under the oracle gate; single-probe
+    recall improvement over random centroids is pinned by pytest."""
     from parse_html_spark.functions.similarity import ivf_cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return ivf_cosine_topk(
-        emb, list(qvec), k=10, n_cells=8, n_probe=8
+        emb, list(qvec), k=10, n_cells=8, n_probe=8, train=True
     ).select("vec_id", "cosine")
 
 

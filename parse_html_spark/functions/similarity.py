@@ -125,27 +125,91 @@ def lsh_bucket_col(vec_col, planes) -> "F.Column":
     return F.element_at(lsh_buckets_col(vec_col, planes, len(planes)), 1)
 
 
+def _random_centroids(dim: int, n_cells: int, seed: int):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_cells, dim)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample: int = 65536,
+    iters: int = 20,
+) -> "np.ndarray":
+    """ONE seeded, deterministic spherical k-means pass over a bounded
+    sample: the trained coarse quantizer for ivf_assignments /
+    ivf_cosine_topk. Untrained random centroids give unbalanced inverted
+    lists and worse recall-per-probe (measured: recall@1-probe 0.32 ->
+    0.39 on the sf0.1 embeddings, BENCH/SIMILARITY.md).
+
+    The sample is the ``sample`` rows with the smallest
+    (xxhash64(id), id) -- deterministic and independent of partitioning
+    / cluster size (Spark executes orderBy+limit as TakeOrdered: a
+    per-partition top-k merge, never a full sort materialization), so
+    the same corpus always trains the same centroids. Lloyd iterations
+    run driver-side in numpy on <= sample x dim float64 (32 MB at the
+    default) -- k-means on a bounded sample is the standard IVF recipe
+    (FAISS trains on ~256 vectors/cell)."""
+    import numpy as np
+
+    rows = (
+        df.select(
+            F.col(vec_col).alias("_v"),
+            F.xxhash64(F.col(id_col)).alias("_h"),
+            F.col(id_col).alias("_i"),
+        )
+        .orderBy("_h", "_i")
+        .limit(sample)
+        .collect()
+    )
+    if len(rows) < n_cells:
+        raise ValueError(
+            f"need >= n_cells={n_cells} sample vectors, got {len(rows)}"
+        )
+    V = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = V[rng.choice(len(V), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(V @ C.T, axis=1)
+        for c in range(n_cells):
+            members = V[assign == c]
+            if len(members):  # empty cell keeps its old centroid
+                C[c] = members.mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
 def ivf_assignments(
     df: DataFrame,
     dim: int,
     n_cells: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
-    """IVF coarse quantizer with SEEDED random centroids (deterministic,
-    no training pass): cell = argmax centroid dot product, computed for
-    the whole Arrow batch as one V @ C.T matmul + argmax (ties -> first
-    max, matching the strict `>` fold it replaces). At scale the corpus
+    """IVF coarse quantizer: cell = argmax centroid dot product, computed
+    for the whole Arrow batch as one V @ C.T matmul + argmax (ties ->
+    first max, matching the strict `>` fold it replaces). Centroids are
+    ``centroids`` when given (train with ivf_train_centroids), else
+    seeded random (deterministic, no training pass). At scale the corpus
     is bucketed once at ingest and queries probe only their cell
     (+ neighbors), cutting scored candidates ~n_cells-fold."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    rng = np.random.RandomState(seed)
-    cents = rng.randn(n_cells, dim)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    C = np.ascontiguousarray(cents)
+    if centroids is None:
+        centroids = _random_centroids(dim, n_cells, seed)
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
 
     def f(s):
         if len(s) == 0:
@@ -165,16 +229,31 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    centroids=None,
+    train: bool = False,
 ) -> DataFrame:
-    """Approximate top-k scoring only the n_probe nearest IVF cells."""
+    """Approximate top-k scoring only the n_probe nearest IVF cells.
+
+    centroids: precomputed quantizer (ivf_train_centroids). train=True
+    trains one on ``df`` itself (seeded, deterministic) -- better
+    recall-per-probe than the seeded-random default; at scale train
+    once and reuse the centroids across queries instead."""
     import numpy as np
 
-    rng = np.random.RandomState(seed)
-    cents = rng.randn(n_cells, len(query_vec))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    if centroids is None and train:
+        centroids = ivf_train_centroids(
+            df, len(query_vec), n_cells, vec_col, id_col, seed
+        )
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _random_centroids(len(query_vec), n_cells, seed)
+    )
     qv = np.asarray(query_vec, dtype="float64")
     probe = np.argsort(-(cents @ qv))[:n_probe].tolist()
-    assigned = ivf_assignments(df, len(query_vec), n_cells, vec_col, seed)
+    assigned = ivf_assignments(
+        df, len(query_vec), n_cells, vec_col, seed, centroids=cents
+    )
     cand = assigned.filter(F.col("_ivf_cell").isin([int(c) for c in probe]))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 

@@ -104,6 +104,43 @@ def test_ivf_topk(spark):
     assert approx == exact
 
 
+def test_ivf_trained_centroids_improve_single_probe_recall(spark):
+    """Spherical k-means quantizer (ivf_train_centroids) must beat the
+    seeded-random one on single-probe candidate recall@10 over the
+    sf0.1 embeddings. Everything is seeded/deterministic, so the margin
+    is a fixed number, not a flaky statistic (measured ~+0.07)."""
+    import numpy as np
+
+    from parse_html_spark.functions.similarity import (
+        _random_centroids,
+        ivf_train_centroids,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    C_t = ivf_train_centroids(df, 64, n_cells=8, seed=42)
+    V = np.asarray(
+        [r["embedding"] for r in df.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    def recall_1probe(C, nq=50, K=10):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        assign = np.argmax(Vn @ Cn.T, axis=1)
+        hits = 0
+        for q in range(nq):
+            sims = Vn @ Vn[q]
+            truth = np.argsort(-sims)[:K]
+            cand = np.where(assign == np.argmax(Cn @ Vn[q]))[0]
+            got = cand[np.argsort(-sims[cand])[:K]]
+            hits += len(set(truth) & set(got))
+        return hits / (nq * K)
+
+    r_rand = recall_1probe(_random_centroids(64, 8, 42))
+    r_train = recall_1probe(C_t)
+    assert r_train > r_rand + 0.02, (r_rand, r_train)
+
+
 def test_textfn_on_real_table(spark):
     from parse_html_spark.functions.textfn import (
         fingerprint,
