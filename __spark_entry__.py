@@ -687,6 +687,116 @@ def _q_embed_near_dup(spark, sf_dir):
     return embedding_near_duplicates(both, dim=64, min_cosine=0.95)
 
 
+def _write_flat_span_file(rows, path):
+    """One FLAT parquet file of span-docs (doc_id string, spans) via
+    pyarrow: Spark writes directories, which the streaming file source's
+    flat listing skips silently, and one file = one availableNow
+    micro-batch, which makes the first-seen/stored-first ordering rules
+    deterministic (min / lexicographic-first within the single batch)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span_t = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    ids = pa.array([r[0] for r in rows], type=pa.string())
+    spans = pa.array(
+        [
+            [{"kind": "text", "text": r[1], "media_ref": None, "offset": 0}]
+            for r in rows
+        ],
+        type=span_t,
+    )
+    pq.write_table(pa.table({"doc_id": ids, "spans": spans}), path)
+
+
+def _run_stream(start_fn, out_cols, timeout_sec=300):
+    """Run an availableNow streaming job to completion and return the
+    sink as a batch DataFrame."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    in_dir = f"{base}/in"
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    q, spark = start_fn(in_dir, f"{base}/out", f"{base}/ckpt")
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(f"{base}/out").select(*out_cols)
+
+
+def _q_stream_dedup(spark, sf_dir):
+    """Streaming first-seen exact dedup (stateful applyInPandasWithState,
+    availableNow) oracle-checked against the BATCH keeper rule: over a
+    doubled corpus in one micro-batch, the emitted (fp, doc_id) set
+    equals md5-groups with their lexicographically-first doc_id -- the
+    promoted form of the pytest batch-equivalence pin
+    (tests/test_streaming.py)."""
+    import duckdb
+
+    from parse_html_spark.streaming import streaming_dedup_first_seen
+
+    rows = duckdb.sql(
+        "SELECT CAST(doc_id AS VARCHAR), text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') "
+        "UNION ALL SELECT CAST(doc_id + 10000000 AS VARCHAR), text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY 1"
+    ).fetchall()
+
+    def start(in_dir, out_dir, ckpt):
+        _write_flat_span_file(rows, f"{in_dir}/docs.parquet")
+        return (
+            streaming_dedup_first_seen(spark, in_dir, out_dir, ckpt),
+            spark,
+        )
+
+    return _run_stream(start, ["fp", "doc_id"])
+
+
+def _q_stream_lsh(spark, sf_dir):
+    """Streaming stateful MinHash-LSH near-dup candidates oracle-checked
+    EXACTLY: docs 100-159 (verified margin: max non-planted minhash
+    agreement 0.094 << 0.6 threshold at sf0.001/0.01/0.1, and no
+    non-planted pair agrees on any full band) plus planted exact copies
+    (id + 20000000). Copies sort lexicographically after originals in
+    the single micro-batch, so every bucket stores the original and the
+    copy emits (copy, original, est=1.0) -- the complete output is
+    SQL-predictable."""
+    import duckdb
+
+    from parse_html_spark.streaming import streaming_near_dup_candidates
+
+    rows = duckdb.sql(
+        "SELECT CAST(doc_id AS VARCHAR), text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id >= 100 AND doc_id < 160 "
+        "UNION ALL SELECT CAST(doc_id + 20000000 AS VARCHAR), text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id >= 100 AND doc_id < 160 ORDER BY 1"
+    ).fetchall()
+
+    def start(in_dir, out_dir, ckpt):
+        _write_flat_span_file(rows, f"{in_dir}/docs.parquet")
+        return (
+            streaming_near_dup_candidates(spark, in_dir, out_dir, ckpt),
+            spark,
+        )
+
+    out = _run_stream(start, ["doc_id", "dup_of", "est_jaccard"])
+    return out.distinct()
+
+
 def _q_node_counts(spark, sf_dir):
     """Exploded node table: per-doc tag histogram (relational form)."""
     from parse_html_spark.pipeline import node_table
@@ -813,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "lsh_topk": _q_lsh_topk,
         "topk_per_query": _q_topk_per_query,
+        "stream_dedup": _q_stream_dedup,
+        "stream_lsh": _q_stream_lsh,
         "node_counts": _q_node_counts,
         "node_descendants": _q_node_descendants,
         "events_window": _q_events_window,
@@ -1100,6 +1212,19 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
             "), 4) AS cosine FROM embeddings "
             "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "stream_dedup": (
+            "WITH doubled AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text "
+            "FROM documents UNION ALL SELECT CAST(doc_id + 10000000 AS "
+            "VARCHAR), text FROM documents) "
+            "SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM doubled "
+            "GROUP BY text"
+        ),
+        "stream_lsh": (
+            "SELECT CAST(doc_id + 20000000 AS VARCHAR) AS doc_id, "
+            "CAST(doc_id AS VARCHAR) AS dup_of, "
+            "CAST(1.0 AS DOUBLE) AS est_jaccard FROM documents "
+            "WHERE doc_id >= 100 AND doc_id < 160"
         ),
         "node_counts": (
             "SELECT doc_id, CAST(CASE doc_id % 4 WHEN 0 THEN 21 WHEN 1 THEN 23 "
