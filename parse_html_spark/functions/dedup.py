@@ -135,7 +135,11 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
 
 
-def _cap_hot_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+def _cap_hot_buckets(
+    banded: DataFrame,
+    keys: list[str],
+    max_bucket: int | None,
+) -> DataFrame:
     """Drop LSH buckets holding more than ``max_bucket`` members BEFORE
     the self-join: a bucket of k rows contributes k^2/2 join rows, so
     one mega-bucket (billions of near-empty or same-template docs all
@@ -149,7 +153,16 @@ def _cap_hot_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None)
     ``banded`` subtree -- whose signature computation (pandas-UDF
     minhash / hyperplane dot products) is the dominant cost -- a third
     time for the count; the window rides the one exchange its own
-    partitioning needs and adds no extra pass."""
+    partitioning needs and adds no extra pass.
+
+    The pruning is lossy and would otherwise be SILENT: use the
+    operators' `*_hot_buckets` audit twins (minhash_hot_buckets /
+    simhash_hot_buckets / similarity.embedding_hot_buckets) to see
+    exactly which buckets a given corpus would lose. An inline
+    Observation metric was tried and rejected: a CollectMetrics node on
+    the subtree both sides of the candidate self-join reference is
+    plan-dependent in Spark (works on some shapes, toPyRow assertion on
+    others)."""
     if max_bucket is None:
         return banded
     from pyspark.sql import Window
@@ -159,6 +172,56 @@ def _cap_hot_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None)
         banded.withColumn("_bucket_n", F.count("*").over(w))
         .filter(F.col("_bucket_n") <= max_bucket)
         .drop("_bucket_n")
+    )
+
+
+def _minhash_banded(
+    df, text_col, id_col, num_hashes, bands, shingle_words
+) -> DataFrame:
+    """(id, band, band_hash) rows: one per document per LSH band."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def hot_bucket_report(banded: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """AUDIT twin of _cap_hot_buckets: the buckets a given ``max_bucket``
+    would silently drop, with their sizes. Lossy pruning should be
+    OBSERVABLE: run this (one extra pass, opt-in -- an inline metric on
+    the self-joined subtree is not plan-stable, see _cap_hot_buckets)
+    on a corpus sample whenever a capped operator's recall matters."""
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+    )
+
+
+def minhash_hot_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    max_bucket: int = 8192,
+) -> DataFrame:
+    """(band, band_hash, bucket_n) of the buckets minhash_lsh_pairs'
+    default cap would drop for this corpus."""
+    return hot_bucket_report(
+        _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_words),
+        ["band", "band_hash"],
+        max_bucket,
     )
 
 
@@ -173,6 +236,7 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that collide in at
     least one LSH band. Shuffles only band keys, not text.
+    minhash_hot_buckets() reports what a given max_bucket would drop.
 
     SCALE GUARD (ON BY DEFAULT): band buckets larger than ``max_bucket``
     are dropped before the self-join (see _cap_hot_buckets) -- bounding
@@ -180,18 +244,8 @@ def minhash_lsh_pairs(
     dedup_exact first so identical-text clusters (the usual mega-bucket
     cause) never reach this operator; pass an explicit max_bucket=None
     for the uncapped exact candidate set on small corpora."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+    banded = _minhash_banded(
+        df, text_col, id_col, num_hashes, bands, shingle_words
     )
     banded = _cap_hot_buckets(banded, ["band", "band_hash"], max_bucket)
     a = banded.alias("a")
@@ -287,6 +341,46 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(F.col(id_col), sim_udf(F.col(text_col)).alias("simhash"))
 
 
+def _simhash_chunked(df, text_col, id_col, max_hamming) -> DataFrame:
+    """(id, simhash, chunk, chunk_val) rows: one per doc per band chunk
+    (n_chunks = max(4, max_hamming + 1), pigeonhole-lossless)."""
+    n_chunks = max(4, max_hamming + 1)
+    w = 64 // n_chunks
+    widths = [w] * (n_chunks - 1) + [64 - w * (n_chunks - 1)]
+    offs = [k * w for k in range(n_chunks)]
+    sh = simhash64(df, text_col, id_col)
+    return sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", offs[k]).bitwiseAND(
+                        F.lit((1 << widths[k]) - 1 if widths[k] < 64 else -1)
+                    )
+                    for k in range(n_chunks)
+                ]
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+
+
+def simhash_hot_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 8192,
+) -> DataFrame:
+    """(chunk, chunk_val, bucket_n) of the chunk buckets
+    simhash_near_pairs' default cap would drop for this corpus."""
+    return hot_bucket_report(
+        _simhash_chunked(df, text_col, id_col, max_hamming),
+        ["chunk", "chunk_val"],
+        max_bucket,
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -295,6 +389,7 @@ def simhash_near_pairs(
     max_bucket: int | None = 8192,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+    simhash_hot_buckets() reports what a given max_bucket would drop.
 
     Banding is LOSSLESS by pigeonhole: the 64 bits are cut into
     n_chunks = max(4, max_hamming + 1) chunks, so a pair within distance
@@ -310,25 +405,7 @@ def simhash_near_pairs(
     shared chunks all fit the cap; identical-text clusters belong to
     dedup_exact upstream. Explicit max_bucket=None restores the
     unconditionally lossless (unbounded) form."""
-    n_chunks = max(4, max_hamming + 1)
-    w = 64 // n_chunks
-    widths = [w] * (n_chunks - 1) + [64 - w * (n_chunks - 1)]
-    offs = [k * w for k in range(n_chunks)]
-    sh = simhash64(df, text_col, id_col)
-    chunks = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("simhash", offs[k]).bitwiseAND(
-                        F.lit((1 << widths[k]) - 1 if widths[k] < 64 else -1)
-                    )
-                    for k in range(n_chunks)
-                ]
-            )
-        ).alias("chunk", "chunk_val"),
-    )
+    chunks = _simhash_chunked(df, text_col, id_col, max_hamming)
     chunks = _cap_hot_buckets(chunks, ["chunk", "chunk_val"], max_bucket)
     a, b = chunks.alias("a"), chunks.alias("b")
     joined = a.join(

@@ -296,6 +296,41 @@ def lsh_cosine_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def _embedding_banded(df, dim, tables, bits, vec_col, id_col, seed):
+    """(id, tbl, bucket) rows: one per vector per hyperplane table."""
+    import numpy as np
+
+    stack = np.vstack(
+        [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
+    )
+    buckets = lsh_buckets_col(F.col(vec_col), stack, bits)
+    return df.select(
+        F.col(id_col), F.posexplode(buckets).alias("tbl", "bucket")
+    )
+
+
+def embedding_hot_buckets(
+    df: DataFrame,
+    dim: int,
+    tables: int = 8,
+    bits: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_bucket: int = 8192,
+) -> DataFrame:
+    """(tbl, bucket, bucket_n) of the sign buckets lsh_candidate_pairs'
+    default cap would drop for this corpus (audit twin; see
+    dedup.hot_bucket_report)."""
+    from .dedup import hot_bucket_report
+
+    return hot_bucket_report(
+        _embedding_banded(df, dim, tables, bits, vec_col, id_col, seed),
+        ["tbl", "bucket"],
+        max_bucket,
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     dim: int,
@@ -319,17 +354,9 @@ def lsh_candidate_pairs(
     fraction into one sign bucket). The principled fix for persistent
     hot buckets is more bits per table; the cap bounds the accidental
     quadratic meanwhile. Explicit max_bucket=None disables."""
-    import numpy as np
-
     from .dedup import _cap_hot_buckets
 
-    stack = np.vstack(
-        [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)]
-    )
-    buckets = lsh_buckets_col(F.col(vec_col), stack, bits)
-    banded = df.select(
-        F.col(id_col), F.posexplode(buckets).alias("tbl", "bucket")
-    )
+    banded = _embedding_banded(df, dim, tables, bits, vec_col, id_col, seed)
     banded = _cap_hot_buckets(banded, ["tbl", "bucket"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (

@@ -424,6 +424,75 @@ def test_simhash_batch_invariant_to_empty_neighbors(spark):
     assert got_mixed[1] == 0 and got_mixed[3] == 0
 
 
+def test_hot_bucket_soak_default_caps(spark):
+    """Mega-bucket soak at the DEFAULT caps: 20k identical near-empty
+    docs funnel into one bucket per band (a 2e8-row-per-band self-join
+    uncapped); all three batch LSH candidate operators must complete
+    quickly with the planted distinctive pair intact, and the audit
+    twins must report exactly the dropped buckets (observable pruning,
+    ADVICE r3)."""
+    import time
+
+    from parse_html_spark.functions.dedup import (
+        minhash_hot_buckets,
+        minhash_lsh_pairs,
+        simhash_hot_buckets,
+        simhash_near_pairs,
+    )
+    from parse_html_spark.functions.similarity import (
+        embedding_hot_buckets,
+        lsh_candidate_pairs,
+    )
+
+    n = 20_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("near empty boilerplate stub").alias("text"),
+    )
+    pair = spark.createDataFrame(
+        [
+            (1_000_000, "rare unique words alpha beta gamma delta"),
+            (1_000_001, "rare unique words alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(pair)
+
+    t0 = time.time()
+    mh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df).collect()}
+    assert (1_000_000, 1_000_001) in mh
+    assert not any(a < n for a, _ in mh)  # mega-cluster suppressed
+    sh = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(df).collect()}
+    assert not any(a < n for a, _ in sh)
+
+    vec = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array_repeat(F.lit(0.5), 16).alias("embedding"),
+    )
+    pv = spark.createDataFrame(
+        [(1_000_000, [1.0] + [0.0] * 15), (1_000_001, [0.99, 0.01] + [0.0] * 14)],
+        "vec_id long, embedding array<double>",
+    )
+    vdf = vec.unionByName(pv)
+    em = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(vdf, dim=16).collect()}
+    assert (1_000_000, 1_000_001) in em
+    assert not any(a < n for a, _ in em)
+    wall = time.time() - t0
+    assert wall < 300, f"capped soak took {wall:.0f}s"  # uncapped = hours
+
+    # audit twins report EXACTLY the dropped buckets
+    assert sorted(
+        (r["band"], r["bucket_n"]) for r in minhash_hot_buckets(df).collect()
+    ) == [(b, n) for b in range(8)]
+    assert sorted(
+        (r["chunk"], r["bucket_n"]) for r in simhash_hot_buckets(df).collect()
+    ) == [(c, n) for c in range(4)]
+    assert sorted(
+        (r["tbl"], r["bucket_n"])
+        for r in embedding_hot_buckets(vdf, dim=16).collect()
+    ) == [(t, n) for t in range(8)]
+
+
 def test_lsh_hot_bucket_cap_bounds_join(spark):
     """Hot-bucket guard (default ON): a mega-bucket of identical
     signatures would be a k^2/2 self-join; under the cap its buckets
