@@ -253,6 +253,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     dri = 0
     pos = 2
     scan_comps = None
+    adobe_transform = None  # APP14 'Adobe' color-transform byte
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -314,6 +315,10 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", body[:2])
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            # APP14: transform 0 = components are already RGB (no YCbCr
+            # transform on decode), 1 = YCbCr, 2 = YCCK
+            adobe_transform = body[11]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             if comps and ns != len(comps):
@@ -338,6 +343,15 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
 
     hmax = max(c[0][1] for c in scan_comps)
     vmax = max(c[0][2] for c in scan_comps)
+    for (cid, h, v, _tq), _td, _ta in scan_comps:
+        # upsampling below uses integer np.repeat factors; legal
+        # non-divisible ratios (e.g. 3x1 luma with 2x1 chroma) would
+        # otherwise die in np.stack with an uninformative shape error
+        if h < 1 or v < 1 or hmax % h or vmax % v:
+            raise ValueError(
+                f"unsupported sampling factors {h}x{v} for component "
+                f"{cid} (max {hmax}x{vmax}: non-integer upsampling ratio)"
+            )
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
     # per-component coefficient planes (padded to the MCU grid)
@@ -397,6 +411,10 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
         return np.clip(out_planes[0], 0, 255).astype(np.uint8)
     if len(out_planes) != 3:
         raise ValueError(f"unsupported component count {len(out_planes)}")
+    if adobe_transform == 0:
+        # Adobe APP14 transform=0: components are stored RGB -- applying
+        # the JFIF YCbCr->RGB matrix would silently decode wrong colors
+        return np.clip(np.stack(out_planes, axis=2), 0, 255).astype(np.uint8)
     y, cb, cr = out_planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

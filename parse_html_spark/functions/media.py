@@ -140,57 +140,83 @@ def sample_frames(df, every_ms: int = 1000, duration_ms: int = 5000, fake: bool 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
-def extract_media_features(df, fake: bool = True, dim: int = 8):
+def extract_media_features(
+    df, fake: bool = True, dim: int = 8, on_error: str = "raise"
+):
     """mapInPandas over (media_ref, payload:binary) -> FEATURE_SCHEMA.
 
     fake=False computes REAL features for stdlib-decodable payloads:
     per-channel mean/std + luminance histogram for PNG/PPM/baseline-JPEG
     images, RMS/zero-crossing/duration/band-energy for 16-bit PCM WAV
-    audio (functions/codecs.py, functions/jpeg.py). Progressive JPEG
-    and video raise at the plug point.
+    audio (functions/codecs.py, functions/jpeg.py).
     fake=True emits deterministic crc32-seeded features for any bytes.
-    """
+
+    on_error='raise' (default) propagates undecodable payloads
+    (progressive JPEG, video containers, malformed bytes) and fails the
+    task. on_error='flag' degrades GRACEFULLY for mixed real-crawl
+    corpora: undecodable rows get feature=NULL and the output gains a
+    ``status`` column ('ok' or 'undecodable:<kind>:<reason>') -- a
+    groupBy(status) gives the corpus decode-failure census (e.g. the
+    progressive-JPEG fraction) without losing the partition."""
     import numpy as np
     import pandas as pd
+
+    if on_error not in ("raise", "flag"):
+        raise ValueError(f"on_error must be 'raise' or 'flag': {on_error!r}")
+    flag = on_error == "flag"
 
     def run(batches):
         from . import codecs
 
         for pdf in batches:
             refs, types, nbytes, sums, feats = [], [], [], [], []
+            statuses = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
                 crc = zlib.crc32(data) & 0xFFFFFFFF
+                status = "ok"
                 if fake:
                     rng = np.random.RandomState(crc % (2**31))
                     mtype = "image" if "img" in (ref or "") else "embed"
                     feat = rng.rand(dim).astype("float32").tolist()
                 else:
                     kind = codecs.sniff(data)
-                    if kind in ("png", "ppm", "jpeg"):
-                        mtype = "image"
-                        feat = codecs.image_features(_decode_image(data), dim)
-                    elif kind == "wav":
-                        mtype = "audio"
-                        feat = codecs.audio_features(*codecs.decode_wav(data), dim=dim)
-                    else:
-                        raise NotImplementedError(
-                            f"decoding {kind!r} requires PIL/ffmpeg; "
-                            "PNG/PPM/baseline-JPEG/WAV features here are real"
-                        )
+                    try:
+                        if kind in ("png", "ppm", "jpeg"):
+                            mtype = "image"
+                            feat = codecs.image_features(_decode_image(data), dim)
+                        elif kind == "wav":
+                            mtype = "audio"
+                            feat = codecs.audio_features(
+                                *codecs.decode_wav(data), dim=dim
+                            )
+                        else:
+                            raise NotImplementedError(
+                                f"decoding {kind!r} requires PIL/ffmpeg; "
+                                "PNG/PPM/baseline-JPEG/WAV features here are real"
+                            )
+                    except (NotImplementedError, ValueError) as exc:
+                        if not flag:
+                            raise
+                        mtype = "unknown"
+                        feat = None
+                        status = f"undecodable:{kind}:{str(exc)[:120]}"
                 refs.append(ref)
                 types.append(mtype)
                 nbytes.append(len(data))
                 sums.append(crc)
                 feats.append(feat)
-            yield pd.DataFrame(
-                {
-                    "media_ref": refs,
-                    "media_type": types,
-                    "n_bytes": pd.array(nbytes, dtype="int64"),
-                    "checksum": pd.array(sums, dtype="int64"),
-                    "feature": feats,
-                }
-            )
+                statuses.append(status)
+            cols = {
+                "media_ref": refs,
+                "media_type": types,
+                "n_bytes": pd.array(nbytes, dtype="int64"),
+                "checksum": pd.array(sums, dtype="int64"),
+                "feature": feats,
+            }
+            if flag:
+                cols["status"] = statuses
+            yield pd.DataFrame(cols)
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    schema = FEATURE_SCHEMA + (", status string" if flag else "")
+    return df.mapInPandas(run, schema=schema)

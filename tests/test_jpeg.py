@@ -136,6 +136,82 @@ def test_media_pipeline_decodes_real_jpeg(spark):
     assert arr.shape == (16, 16, 3)
 
 
+def test_adobe_app14_transform0_skips_color_transform():
+    """ADVICE r3: an Adobe APP14 segment with transform=0 marks the
+    3 components as already-RGB; applying the JFIF YCbCr matrix would
+    silently decode wrong colors. A uniform gray image encodes to
+    Y=120, Cb=Cr=128: transform=0 must yield ~(120,128,128) raw planes,
+    transform=1 (and no APP14) the usual (120,120,120)."""
+    import struct
+
+    img = np.full((16, 16, 3), 120, dtype=np.uint8)
+    data = encode_jpeg(img, quality=95)
+
+    def with_app14(transform):
+        seg = (
+            b"\xff\xee"
+            + struct.pack(">H", 14)
+            + b"Adobe"
+            + b"\x00\x64"  # version
+            + b"\x00\x00\x00\x00"  # flags0/flags1
+            + bytes([transform])
+        )
+        return data[:2] + seg + data[2:]
+
+    plain = decode_jpeg(data)
+    assert np.all(np.abs(plain[0, 0].astype(int) - [120, 120, 120]) <= 3)
+    t1 = decode_jpeg(with_app14(1))
+    assert np.array_equal(t1, plain)
+    t0 = decode_jpeg(with_app14(0))
+    assert np.all(np.abs(t0[0, 0].astype(int) - [120, 128, 128]) <= 3)
+
+
+def test_nondivisible_sampling_factors_raise_clearly():
+    """ADVICE r3: legal but unsupported sampling ratios (3x1 luma with
+    2x1 chroma -> non-integer upsampling) must raise a clear ValueError
+    instead of a shape error from np.stack."""
+    img = _smooth_rgb(16, 16)
+    data = bytearray(encode_jpeg(img))  # 4:4:4 -> all comps hv=0x11
+    sof = data.find(b"\xff\xc0")
+    data[sof + 11] = 0x31  # comp 0 (Y): h=3, v=1
+    data[sof + 14] = 0x21  # comp 1 (Cb): h=2, v=1 -> 3 % 2 != 0
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(bytes(data))
+
+
+def test_media_features_flag_mode_mixed_corpus(spark):
+    """on_error='flag': a mixed corpus (baseline JPEG + progressive JPEG
+    + junk bytes) degrades gracefully -- undecodable rows carry a status
+    string and NULL feature instead of failing the partition, so
+    groupBy(status) is the corpus decode census."""
+    from parse_html_spark.functions.media import extract_media_features
+
+    good = encode_jpeg(_smooth_rgb(16, 16), quality=90)
+    prog = bytearray(good)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    df = spark.createDataFrame(
+        [
+            ("media://ok", bytearray(good)),
+            ("media://prog", prog),
+            ("media://junk", bytearray(b"NOPE")),
+        ],
+        "media_ref string, payload binary",
+    )
+    rows = {
+        r["media_ref"]: r
+        for r in extract_media_features(df, fake=False, on_error="flag").collect()
+    }
+    assert rows["media://ok"]["status"] == "ok"
+    assert len(rows["media://ok"]["feature"]) == 8
+    assert rows["media://prog"]["status"].startswith("undecodable:jpeg:")
+    assert "baseline" in rows["media://prog"]["status"]
+    assert rows["media://prog"]["feature"] is None
+    assert rows["media://junk"]["status"].startswith("undecodable:")
+    # default mode still raises on the same corpus
+    with pytest.raises(Exception):
+        extract_media_features(df, fake=False).collect()
+
+
 def test_malformed_inputs_raise_valueerror():
     """Review findings: truncated entropy data / missing tables surface
     as ValueError (one matchable type), never a bare IndexError."""
