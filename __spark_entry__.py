@@ -797,6 +797,77 @@ def _q_stream_lsh(spark, sf_dir):
     return out.distinct()
 
 
+def _q_warc_source(spark, sf_dir):
+    """WARC source reader under the oracle gate: documents round-trip
+    through a .warc.gz archive (one gzip member per 'response' record,
+    the Common Crawl layout) and back out of read_span_docs_warc's
+    pure-Python ISO 28500 splitter with URI/text/n_chars intact."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from parse_html_spark.sources.readers import read_span_docs_warc, write_warc
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    d = tempfile.mkdtemp(prefix="spark_graft_warc_")
+    write_warc(
+        os.path.join(d, "part-0.warc.gz"),
+        [(f"http://d/{i}", t.encode("utf-8")) for i, t in rows],
+        gzip_members=True,
+    )
+    df = read_span_docs_warc(spark, d)
+    return df.select(
+        F.split(F.col("doc_id"), "#")[0].alias("uri"),
+        F.element_at("spans", 1)["text"].alias("text"),
+        F.col("n_chars"),
+    )
+
+
+def _q_jsonl_source(spark, sf_dir):
+    """JSONL source reader under the oracle gate: interleaved span docs
+    (text/media/text) written one JSON object per line, read back with
+    the pinned schema (no inference) and the derived n_chars column
+    (the file intentionally omits n_chars to exercise the derivation)."""
+    import json
+    import os
+    import tempfile
+
+    import duckdb
+
+    from parse_html_spark.sources.readers import read_span_docs_jsonl
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    d = tempfile.mkdtemp(prefix="spark_graft_jsonl_")
+    path = os.path.join(d, "docs.jsonl")
+    with open(path, "w") as fh:
+        for i, t in rows:
+            doc = {
+                "doc_id": str(i),
+                "spans": [
+                    {"kind": "text", "text": t[:10], "media_ref": None,
+                     "offset": 0},
+                    {"kind": "media", "text": "",
+                     "media_ref": f"media://{i}", "offset": 10},
+                    {"kind": "text", "text": t[10:], "media_ref": None,
+                     "offset": 11},
+                ],
+            }
+            fh.write(json.dumps(doc) + "\n")
+    df = read_span_docs_jsonl(spark, path)
+    return df.select(
+        F.col("doc_id"),
+        F.size("spans").alias("n_spans"),
+        F.col("n_chars"),
+    )
+
+
 def _q_node_counts(spark, sf_dir):
     """Exploded node table: per-doc tag histogram (relational form)."""
     from parse_html_spark.pipeline import node_table
@@ -925,6 +996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_query": _q_topk_per_query,
         "stream_dedup": _q_stream_dedup,
         "stream_lsh": _q_stream_lsh,
+        "warc_source": _q_warc_source,
+        "jsonl_source": _q_jsonl_source,
         "node_counts": _q_node_counts,
         "node_descendants": _q_node_descendants,
         "events_window": _q_events_window,
@@ -1225,6 +1298,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR) AS dup_of, "
             "CAST(1.0 AS DOUBLE) AS est_jaccard FROM documents "
             "WHERE doc_id >= 100 AND doc_id < 160"
+        ),
+        "warc_source": (
+            "SELECT 'http://d/' || doc_id AS uri, text, "
+            "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+        ),
+        "jsonl_source": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 3 AS n_spans, "
+            "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
         ),
         "node_counts": (
             "SELECT doc_id, CAST(CASE doc_id % 4 WHEN 0 THEN 21 WHEN 1 THEN 23 "
