@@ -172,27 +172,53 @@ def _doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_spans_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-document table with an interleaved media span: the wrapped
-    HTML is split mid-text and an img span with ref media://<doc_id>
-    occupies the cut position."""
+    """Span-document table with interleaved media spans, PARAMETERIZED
+    by doc_id % 3: m0 cuts the text at 50, m1 at 20, m2 carries TWO
+    media spans (cuts at 20 and 40). Offsets only need to be strictly
+    increasing -- assemble() pins each media slot at the cumulative text
+    length, not the offset value."""
     docs = _documents(spark, sf_dir)
-    pre = F.concat(
-        F.lit("<html><head><title>t</title></head><body>"),
-        F.lit('<div id="main"><p>'),
-        F.substring(F.col("text"), 1, 50),
+    m = F.pmod(F.col("doc_id").cast("bigint"), F.lit(3))
+    head = '<html><head><title>t</title></head><body><div id="main"><p>'
+    tail = "</p></div></body></html>"
+    null_s = F.lit(None).cast("string")
+    ref_a = F.concat(F.lit("media://"), F.col("doc_id").cast("string"))
+    ref_b = F.concat(ref_a, F.lit("/b"))
+
+    def one_cut(cut):
+        pre = F.concat(F.lit(head), F.substring(F.col("text"), 1, cut))
+        post = F.concat(F.expr(f"substring(text, {cut + 1})"), F.lit(tail))
+        return F.array(
+            _span(F.lit("text"), pre, null_s, F.lit(0)),
+            _span(F.lit("img"), F.lit(""), ref_a, F.lit(1)),
+            _span(F.lit("text"), post, null_s, F.lit(2)),
+        )
+
+    two_cuts = F.array(
+        _span(
+            F.lit("text"),
+            F.concat(F.lit(head), F.substring(F.col("text"), 1, 20)),
+            null_s,
+            F.lit(0),
+        ),
+        _span(F.lit("img"), F.lit(""), ref_a, F.lit(1)),
+        _span(F.lit("text"), F.expr("substring(text, 21, 20)"), null_s, F.lit(2)),
+        _span(F.lit("img"), F.lit(""), ref_b, F.lit(3)),
+        _span(
+            F.lit("text"),
+            F.concat(F.expr("substring(text, 41)"), F.lit(tail)),
+            null_s,
+            F.lit(4),
+        ),
     )
-    post = F.concat(
-        F.expr("substring(text, 51)"),
-        F.lit("</p></div></body></html>"),
+    spans = (
+        F.when(m == 1, one_cut(20))
+        .when(m == 2, two_cuts)
+        .otherwise(one_cut(50))
     )
-    ref = F.concat(F.lit("media://"), F.col("doc_id").cast("string"))
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.array(
-            _span(F.lit("text"), pre, F.lit(None).cast("string"), F.lit(0)),
-            _span(F.lit("img"), F.lit(""), ref, F.length(pre)),
-            _span(F.lit("text"), post, F.lit(None).cast("string"), F.length(pre) + F.lit(1)),
-        ).alias("spans"),
+        spans.alias("spans"),
     )
 
 
@@ -797,6 +823,39 @@ def _q_stream_lsh(spark, sf_dir):
     return out.distinct()
 
 
+def _q_mega_spans(spark, sf_dir):
+    """Mega-document extraction UNDER THE ORACLE GATE: docs 0-49 blown
+    up to 47k-577k chars (text x1000 -- docs with n_chars > 500 cross
+    the 500k mega threshold), run through prepare_partitions' skew
+    routing (ingest-style n_chars column, both branches populated) and
+    the full boilerplate extractor. Hash compares md5 + length of each
+    emitted span, so the 15 MB of span text never crosses the compare
+    boundary."""
+    from parse_html_spark.pipeline import extract_spans, prepare_partitions
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 50)
+    big = F.concat(
+        F.lit('<html><body><nav class="menu"><a href="/x">x</a></nav>'
+              '<div id="main"><p>'),
+        F.repeat(F.col("text"), 1000),
+        F.lit('</p></div><footer><a href="/c">c</a></footer></body></html>'),
+    )
+    df = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            _span(F.lit("text"), big, F.lit(None).cast("string"), F.lit(0))
+        ).alias("spans"),
+        F.length(big).cast("long").alias("n_chars"),
+    )
+    out = extract_spans(prepare_partitions(df, partitions=8))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("order"),
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("bigint").alias("n_len"),
+    )
+
+
 def _q_warc_source(spark, sf_dir):
     """WARC source reader under the oracle gate: documents round-trip
     through a .warc.gz archive (one gzip member per 'response' record,
@@ -996,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_query": _q_topk_per_query,
         "stream_dedup": _q_stream_dedup,
         "stream_lsh": _q_stream_lsh,
+        "mega_spans": _q_mega_spans,
         "warc_source": _q_warc_source,
         "jsonl_source": _q_jsonl_source,
         "node_counts": _q_node_counts,
@@ -1109,13 +1169,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(NULL AS VARCHAR) AS media_ref FROM documents"
         ),
         "spans_media": (
+            # m0 (doc_id%3=0): cut at 50; m1: cut at 20; m2: two media
+            # spans with cuts at 20 and 40
+            "WITH d AS (SELECT doc_id, text, doc_id % 3 AS m FROM documents) "
             "SELECT doc_id, 0 AS \"order\", 'text' AS kind, "
-            "substring(text, 1, 50) AS text, CAST(NULL AS VARCHAR) AS media_ref "
-            "FROM documents "
+            "substring(text, 1, CASE WHEN m = 0 THEN 50 ELSE 20 END) AS text, "
+            "CAST(NULL AS VARCHAR) AS media_ref FROM d "
             "UNION ALL SELECT doc_id, 1, 'media', '', 'media://' || doc_id "
-            "FROM documents "
+            "FROM d "
             "UNION ALL SELECT doc_id, 2, 'text', substring(text, 51), NULL "
-            "FROM documents WHERE length(text) > 50"
+            "FROM d WHERE m = 0 AND length(text) > 50 "
+            "UNION ALL SELECT doc_id, 2, 'text', substring(text, 21), NULL "
+            "FROM d WHERE m = 1 AND length(text) > 20 "
+            "UNION ALL SELECT doc_id, 2, 'text', substring(text, 21, 20), NULL "
+            "FROM d WHERE m = 2 AND length(text) > 20 "
+            "UNION ALL SELECT doc_id, 3, 'media', '', "
+            "'media://' || doc_id || '/b' FROM d WHERE m = 2 "
+            "UNION ALL SELECT doc_id, 4, 'text', substring(text, 41), NULL "
+            "FROM d WHERE m = 2 AND length(text) > 40"
         ),
         "text_metrics": (
             f"SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE len({tok}) "
@@ -1298,6 +1369,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR) AS dup_of, "
             "CAST(1.0 AS DOUBLE) AS est_jaccard FROM documents "
             "WHERE doc_id >= 100 AND doc_id < 160"
+        ),
+        "mega_spans": (
+            'SELECT doc_id, 0 AS "order", md5(repeat(text, 1000)) AS '
+            "text_md5, CAST(length(text) * 1000 AS BIGINT) AS n_len "
+            "FROM documents WHERE doc_id < 50"
         ),
         "warc_source": (
             "SELECT 'http://d/' || doc_id AS uri, text, "
