@@ -130,18 +130,38 @@ def _dct_matrix() -> np.ndarray:
 _C = _dct_matrix()
 
 
+_LUT_CACHE: dict = {}
+
+
 def _build_decode_table(bits, vals):
-    """Canonical Huffman (T.81 Annex C): {(length, code): symbol}."""
-    table = {}
+    """Canonical Huffman (T.81 Annex C) as a 16-bit LOOKUP TABLE pair
+    (symbols, code_lengths), indexed by the next 16 bits of the stream:
+    every code of length L owns a 2^(16-L)-entry range, so one peek +
+    one list index decodes a symbol (vs 1-16 dict probes bit-by-bit --
+    entropy decode is ~70% of baseline JPEG wall). length 0 marks an
+    invalid prefix. Cached by table content: the two T.81 Annex K
+    tables cover virtually every real-world baseline JPEG, so the
+    65536-entry fill is paid once per process, not per image."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = [0] * 65536
+    ln = [0] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
+            v = vals[k]
             k += 1
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[base : base + span] = [v] * span
+            ln[base : base + span] = [length] * span
+            code += 1
         code <<= 1
-    return table
+    _LUT_CACHE[key] = (sym, ln)
+    return sym, ln
 
 
 def _build_encode_table(bits, vals):
@@ -158,69 +178,53 @@ def _build_encode_table(bits, vals):
     return table
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
-    unstuffing; restart markers are consumed via restart()."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.buf = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        d = self.data
-        p = self.pos
-        b = d[p]
-        p += 1
-        if b == 0xFF:
-            nxt = d[p]
-            if nxt == 0x00:
-                p += 1  # stuffed literal 0xFF
-            elif 0xD0 <= nxt <= 0xD7:
-                # restart marker mid-fill: only legal at restart(); treat
-                # as error to surface malformed streams
-                raise ValueError("unexpected restart marker in bitstream")
-            else:
-                # end of scan (e.g. EOI): pad with zero bits per spec
-                self.buf = (self.buf << 8) & 0xFFFFFFFF
-                self.nbits += 8
-                return
-        self.buf = ((self.buf << 8) | b) & 0xFFFFFFFF
-        self.nbits += 8
-        self.pos = p
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.buf >> self.nbits) & 1
-
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def restart(self) -> None:
-        """Byte-align and consume an RSTn marker."""
-        self.buf = 0
-        self.nbits = 0
-        d = self.data
-        p = self.pos
-        while d[p] != 0xFF or not (0xD0 <= d[p + 1] <= 0xD7):
-            p += 1
-        self.pos = p + 2
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], bool]:
+    """Split the entropy-coded scan into restart-interval SEGMENTS, with
+    0xFF00 byte-unstuffing done once up front (the per-bit reader then
+    never inspects markers). Returns (segments, truncated): truncated is
+    True when the scan ran off the end of the buffer without a
+    terminating marker (matching the old reader's IndexError ->
+    ValueError on truncated files)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(data)
+    truncated = True
+    while i < n:
+        j = data.find(b"\xff", i)
+        if j < 0:
+            cur.extend(data[i:])
+            break
+        cur.extend(data[i:j])
+        if j + 1 >= n:
+            break
+        m = data[j + 1]
+        if m == 0x00:
+            cur.append(0xFF)  # stuffed literal 0xFF
+            i = j + 2
+        elif 0xD0 <= m <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+        else:
+            # any other marker (incl. a 0xFF fill run) terminates the
+            # scan, exactly like the old _fill's zero-pad branch
+            truncated = False
+            break
+    segs.append(bytes(cur))
+    return segs, truncated
 
 
-def _decode_huff(reader: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+def _seg_overrun(final: bool, truncated: bool) -> None:
+    """Consuming bits past a segment's real end: early restart marker
+    (non-final segment) or truncated entropy data (marker-less scan) --
+    the same errors the old bit-by-bit reader raised from _fill. A
+    marker-terminated FINAL segment zero-pads silently (T.81 scan
+    padding), so this is only called when that case is excluded."""
+    if not final:
+        raise ValueError("unexpected restart marker in bitstream")
+    if truncated:
+        raise ValueError("truncated entropy data")
 
 
 def _extend(v: int, t: int) -> int:
@@ -354,56 +358,153 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             )
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
-    # per-component coefficient planes (padded to the MCU grid)
-    planes = [
-        np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
-        for (_cid, h, v, _tq), _td, _ta in scan_comps
-    ]
-    reader = _BitReader(data, pos)
+    segs, scan_truncated = _entropy_segments(data, pos)
+    n_segs = len(segs)
+    seg_idx = 0
     preds = [0] * len(scan_comps)
     mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
+    # Entropy decode accumulates plain-int coefficient lists per
+    # component (numpy scalar boxing in the serial loop is ~10x plain
+    # ints); dequant + IDCT + plane assembly then run as ONE batched
+    # numpy pass per component below. The bit reader is fully INLINED
+    # as local ints (sbuf/snbits/spos/scons): at ~4 symbols decoded per
+    # microsecond the per-symbol function-call overhead of a reader
+    # object is the single largest cost. Bits past a segment's real end
+    # read as zeros (T.81 scan padding); CONSUMING past the end raises
+    # via _seg_overrun.
+    comp_blocks: list[list[list[int]]] = [[] for _ in scan_comps]
+    luts = [(huff[(0, td)], huff[(1, ta)]) for _c, td, ta in scan_comps]
+    sdata = segs[0]
+    sn = len(sdata)
+    snreal = 8 * sn
+    sfinal = n_segs == 1
+    sbuf = snbits = spos = scons = 0
+    for _my in range(mcuy):
+        for _mx in range(mcux):
             if dri and mcu_count and mcu_count % dri == 0:
-                reader.restart()
+                seg_idx += 1
+                if seg_idx >= n_segs:
+                    raise ValueError("missing restart marker")
+                sdata = segs[seg_idx]
+                sn = len(sdata)
+                snreal = 8 * sn
+                sfinal = seg_idx == n_segs - 1
+                sbuf = snbits = spos = scons = 0
                 preds = [0] * len(scan_comps)
             mcu_count += 1
-            for ci, ((_cid, h, v, tq), td, ta) in enumerate(scan_comps):
-                dc_tbl = huff[(0, td)]
-                ac_tbl = huff[(1, ta)]
-                q = qt[tq]
-                for by in range(v):
-                    for bx in range(h):
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = _decode_huff(reader, dc_tbl)
-                        preds[ci] += _extend(reader.receive(t), t)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(reader, ac_tbl)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run overflows block")
-                            zz[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        # zz is scan-order; q is natural-order -> q[_ZZ]
-                        # realigns the quantizer to scan positions
-                        coef[_ZZ] = zz * q[_ZZ]
-                        block = _C.T @ coef.reshape(8, 8) @ _C
-                        y0 = (my * v + by) * 8
-                        x0 = (mx * h + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-    # level shift, upsample to full resolution, crop
+            for ci, ((_cid, h, v, _tq), _td, _ta) in enumerate(scan_comps):
+                (dc_sym, dc_len), (ac_sym, ac_len) = luts[ci]
+                blocks = comp_blocks[ci]
+                pred = preds[ci]
+                for _b in range(v * h):
+                    zz = [0] * 64
+                    if snbits < 16:
+                        while snbits < 16:
+                            if spos < sn:
+                                sbuf = (sbuf << 8) | sdata[spos]
+                                spos += 1
+                            else:
+                                sbuf <<= 8
+                            snbits += 8
+                        sbuf &= 0xFFFFFFFFFF
+                    idx = (sbuf >> (snbits - 16)) & 0xFFFF
+                    length = dc_len[idx]
+                    if length == 0:
+                        raise ValueError("invalid Huffman code")
+                    t = dc_sym[idx]
+                    snbits -= length
+                    scons += length + t
+                    if t:
+                        if snbits < t:
+                            while snbits < t:
+                                if spos < sn:
+                                    sbuf = (sbuf << 8) | sdata[spos]
+                                    spos += 1
+                                else:
+                                    sbuf <<= 8
+                                snbits += 8
+                            sbuf &= 0xFFFFFFFFFF
+                        snbits -= t
+                        diff = (sbuf >> snbits) & ((1 << t) - 1)
+                        pred += (
+                            diff
+                            if diff >= (1 << (t - 1))
+                            else diff - (1 << t) + 1
+                        )
+                    if scons > snreal:
+                        _seg_overrun(sfinal, scan_truncated)
+                    zz[0] = pred
+                    k = 1
+                    while k < 64:
+                        if snbits < 16:
+                            while snbits < 16:
+                                if spos < sn:
+                                    sbuf = (sbuf << 8) | sdata[spos]
+                                    spos += 1
+                                else:
+                                    sbuf <<= 8
+                                snbits += 8
+                            sbuf &= 0xFFFFFFFFFF
+                        idx = (sbuf >> (snbits - 16)) & 0xFFFF
+                        length = ac_len[idx]
+                        if length == 0:
+                            raise ValueError("invalid Huffman code")
+                        rs = ac_sym[idx]
+                        s = rs & 0xF
+                        if s == 0:
+                            snbits -= length
+                            scons += length
+                            if scons > snreal:
+                                _seg_overrun(sfinal, scan_truncated)
+                            if rs == 0xF0:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        # combined drop(length) + receive(s): length+s
+                        # <= 16+10, one refill covers both
+                        need = length + s
+                        if snbits < need:
+                            while snbits < need:
+                                if spos < sn:
+                                    sbuf = (sbuf << 8) | sdata[spos]
+                                    spos += 1
+                                else:
+                                    sbuf <<= 8
+                                snbits += 8
+                            sbuf &= 0xFFFFFFFFFF
+                        snbits -= need
+                        scons += need
+                        if scons > snreal:
+                            _seg_overrun(sfinal, scan_truncated)
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("AC run overflows block")
+                        diff = (sbuf >> snbits) & ((1 << s) - 1)
+                        zz[k] = (
+                            diff
+                            if diff >= (1 << (s - 1))
+                            else diff - (1 << s) + 1
+                        )
+                        k += 1
+                    blocks.append(zz)
+                preds[ci] = pred
+    # batched dequant + IDCT + plane assembly + level shift + upsample
     out_planes = []
-    for ci, ((_cid, h, v, _tq), _td, _ta) in enumerate(scan_comps):
-        p = planes[ci] + 128.0
+    for ci, ((_cid, h, v, tq), _td, _ta) in enumerate(scan_comps):
+        q = qt[tq]
+        zz_arr = np.asarray(comp_blocks[ci], dtype=np.float64)
+        coef = np.zeros_like(zz_arr)
+        # zz is scan-order; q is natural-order -> q[_ZZ] realigns the
+        # quantizer to scan positions
+        coef[:, _ZZ] = zz_arr * q[_ZZ]
+        blocks = _C.T @ coef.reshape(-1, 8, 8) @ _C
+        # blocks arrive in (my, mx, by, bx) order -> reassemble the grid
+        plane = (
+            blocks.reshape(mcuy, mcux, v, h, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * v * 8, mcux * h * 8)
+        )
+        p = plane + 128.0
         if h < hmax or v < vmax:
             p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
         out_planes.append(p[:height, :width])

@@ -155,10 +155,13 @@ def main() -> None:
     lines += [
         "",
         "Encode is numpy-batched (whole-plane FDCT) except the per-block",
-        "Huffman bit-writer; decode is a per-block Python Huffman",
-        "bit-reader BY NECESSITY (entropy decode is inherently serial).",
-        "Single-digit MB/s is the honest 'no external deps' envelope --",
-        "bulk image corpora should use the documented external-decoder",
+        "Huffman bit-writer. Decode entropy is inherently serial but runs",
+        "a 16-bit LUT Huffman reader (one peek + one list index per",
+        "symbol, reader state inlined as local ints) over pre-unstuffed",
+        "restart segments; dequant/IDCT/plane assembly are one batched",
+        "numpy pass per component (round 4: ~3x the bit-by-bit reader).",
+        "Single-digit MB/s remains the honest 'no external deps' envelope",
+        "-- bulk image corpora should use the documented external-decoder",
         "plug point (media.py), same as progressive JPEG/video.",
         "",
     ]
