@@ -526,27 +526,16 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
 # -- encoder -----------------------------------------------------------------
 
 
-class _BitWriter:
-    def __init__(self):
-        self.out = bytearray()
-        self.buf = 0
-        self.nbits = 0
-
-    def write(self, code: int, length: int) -> None:
-        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            self.nbits -= 8
-            b = (self.buf >> self.nbits) & 0xFF
-            self.out.append(b)
-            if b == 0xFF:
-                self.out.append(0x00)  # byte stuffing
-        self.buf &= (1 << self.nbits) - 1
-
-    def flush(self) -> None:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+def _bw_flush(out: bytearray, buf: int, nbits: int) -> tuple[int, int]:
+    """Byte-align the bit buffer with 1-bit padding (T.81), stuffing any
+    emitted 0xFF. Returns the reset (buf, nbits)."""
+    if nbits:
+        pad = 8 - nbits
+        b = ((buf << pad) | ((1 << pad) - 1)) & 0xFF
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+    return 0, 0
 
 
 def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
@@ -555,39 +544,77 @@ def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
 
 
-def _category(v: int) -> int:
-    return int(abs(v)).bit_length()
+def _encode_block(out, buf, nbits, zz, pred, dc_tab, ac_tab):
+    """Entropy-code one quantized zigzag block into ``out``.
 
-
-def _encode_block(bw, zz, pred, dc_tab, ac_tab) -> int:
-    diff = int(zz[0]) - pred
-    t = _category(diff)
+    ``zz`` is a plain-int list and the bit buffer rides through as
+    plain ints (buf, nbits) -- a writer object's per-code method calls
+    (~50k per 256px image) were ~40% of encode wall, and numpy scalar
+    reads from the coefficient row another big slice. Returns
+    (buf, nbits, dc). Canonical codes and EXTEND-mapped values are
+    already < 2^length, so no masking is needed when packing."""
+    dc = zz[0]
+    diff = dc - pred
+    t = (diff if diff >= 0 else -diff).bit_length()
     code, length = dc_tab[t]
-    bw.write(code, length)
+    buf = (buf << length) | code
+    nbits += length
     if t:
-        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        buf = (buf << t) | (diff if diff >= 0 else diff + (1 << t) - 1)
+        nbits += t
+    while nbits >= 8:
+        nbits -= 8
+        b = (buf >> nbits) & 0xFF
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)  # byte stuffing
+    buf &= (1 << nbits) - 1
     run = 0
     last = 63
     while last > 0 and zz[last] == 0:
         last -= 1
     for k in range(1, last + 1):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
             run += 1
             continue
         while run > 15:
             code, length = ac_tab[0xF0]  # ZRL
-            bw.write(code, length)
+            buf = (buf << length) | code
+            nbits += length
+            while nbits >= 8:
+                nbits -= 8
+                b = (buf >> nbits) & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            buf &= (1 << nbits) - 1
             run -= 16
-        s = _category(v)
+        s = (v if v >= 0 else -v).bit_length()
         code, length = ac_tab[(run << 4) | s]
-        bw.write(code, length)
-        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        buf = (buf << length) | code
+        buf = (buf << s) | (v if v >= 0 else v + (1 << s) - 1)
+        nbits += length + s
+        while nbits >= 8:
+            nbits -= 8
+            b = (buf >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        buf &= (1 << nbits) - 1
         run = 0
     if last < 63:
         code, length = ac_tab[0x00]  # EOB
-        bw.write(code, length)
-    return int(zz[0])
+        buf = (buf << length) | code
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            b = (buf >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        buf &= (1 << nbits) - 1
+    return buf, nbits, dc
 
 
 def _plane_blocks_fdct(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -663,25 +690,31 @@ def encode_jpeg(
     ac_lum_e = _build_encode_table(*_H_AC_LUM)
     dc_chr_e = _build_encode_table(*_H_DC_CHR)
     ac_chr_e = _build_encode_table(*_H_AC_CHR)
-    bw = _BitWriter()
+    ec = bytearray()
+    buf = nbits = 0
+    coefs_l = [c.tolist() for c in coefs]  # plain ints for the hot loop
     preds = [0] * len(planes)
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                bw.flush()  # byte-align (1-bit padding per spec)
+                buf, nbits = _bw_flush(ec, buf, nbits)
                 n_rst = mcu_count // restart_interval - 1
-                bw.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                ec += bytes([0xFF, 0xD0 + (n_rst % 8)])
                 preds = [0] * len(planes)
             mcu_count += 1
             for ci, (sh, sv) in enumerate(samp):
                 dc_t = dc_lum_e if ci == 0 else dc_chr_e
                 ac_t = ac_lum_e if ci == 0 else ac_chr_e
+                rows = coefs_l[ci]
                 for by in range(sv):
                     for bx in range(sh):
-                        zz = coefs[ci][my * sv + by, mx * sh + bx]
-                        preds[ci] = _encode_block(bw, zz, preds[ci], dc_t, ac_t)
-    bw.flush()
+                        buf, nbits, preds[ci] = _encode_block(
+                            ec, buf, nbits,
+                            rows[my * sv + by][mx * sh + bx],
+                            preds[ci], dc_t, ac_t,
+                        )
+    buf, nbits = _bw_flush(ec, buf, nbits)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -712,6 +745,6 @@ def encode_jpeg(
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
-    out += bw.out
+    out += ec
     out += b"\xff\xd9"
     return bytes(out)
