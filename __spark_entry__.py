@@ -755,10 +755,17 @@ def _run_stream(start_fn, out_cols, timeout_sec=300):
     os.makedirs(in_dir, exist_ok=True)
     q, spark = start_fn(in_dir, f"{base}/out", f"{base}/ckpt")
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:
             q.stop()
+    if not finished:
+        # LOUD failure: a stopped-mid-flight availableNow query leaves a
+        # partially-committed sink, which would compare as silently
+        # wrong rows instead of an error
+        raise RuntimeError(
+            f"streaming query did not finish within {timeout_sec}s"
+        )
     return spark.read.parquet(f"{base}/out").select(*out_cols)
 
 
