@@ -713,6 +713,18 @@ def _q_embed_near_dup(spark, sf_dir):
     return embedding_near_duplicates(both, dim=64, min_cosine=0.95)
 
 
+def _scratch_dir(prefix):
+    """mkdtemp + atexit cleanup: the returned DataFrames read these
+    dirs lazily, so removal must wait until the process exits."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _write_flat_span_file(rows, path):
     """One FLAT parquet file of span-docs (doc_id string, spans) via
     pyarrow: Spark writes directories, which the streaming file source's
@@ -746,12 +758,10 @@ def _write_flat_span_file(rows, path):
 def _run_stream(start_fn, out_cols, timeout_sec=300):
     """Run an availableNow streaming job to completion and return the
     sink as a batch DataFrame."""
-    import tempfile
-
-    base = tempfile.mkdtemp(prefix="spark_graft_stream_")
-    in_dir = f"{base}/in"
     import os
 
+    base = _scratch_dir("spark_graft_stream_")
+    in_dir = f"{base}/in"
     os.makedirs(in_dir, exist_ok=True)
     q, spark = start_fn(in_dir, f"{base}/out", f"{base}/ckpt")
     try:
@@ -869,7 +879,6 @@ def _q_warc_source(spark, sf_dir):
     the Common Crawl layout) and back out of read_span_docs_warc's
     pure-Python ISO 28500 splitter with URI/text/n_chars intact."""
     import os
-    import tempfile
 
     import duckdb
 
@@ -879,7 +888,7 @@ def _q_warc_source(spark, sf_dir):
         "SELECT doc_id, text FROM "
         f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
-    d = tempfile.mkdtemp(prefix="spark_graft_warc_")
+    d = _scratch_dir("spark_graft_warc_")
     write_warc(
         os.path.join(d, "part-0.warc.gz"),
         [(f"http://d/{i}", t.encode("utf-8")) for i, t in rows],
@@ -900,7 +909,6 @@ def _q_jsonl_source(spark, sf_dir):
     (the file intentionally omits n_chars to exercise the derivation)."""
     import json
     import os
-    import tempfile
 
     import duckdb
 
@@ -910,7 +918,7 @@ def _q_jsonl_source(spark, sf_dir):
         "SELECT doc_id, text FROM "
         f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
-    d = tempfile.mkdtemp(prefix="spark_graft_jsonl_")
+    d = _scratch_dir("spark_graft_jsonl_")
     path = os.path.join(d, "docs.jsonl")
     with open(path, "w") as fh:
         for i, t in rows:

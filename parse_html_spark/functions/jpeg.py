@@ -146,6 +146,11 @@ def _build_decode_table(bits, vals):
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
+    # bound the cache: optimized-Huffman JPEGs (libjpeg/mozjpeg
+    # 'optimize', common on CDNs) carry per-image tables, and each LUT
+    # pair is ~1 MB of Python lists -- past the cap, build uncached
+    # (~10 ms/table) instead of leaking executor memory
+    cache_it = len(_LUT_CACHE) < 64
     sym = [0] * 65536
     ln = [0] * 65536
     code = 0
@@ -160,7 +165,8 @@ def _build_decode_table(bits, vals):
             ln[base : base + span] = [length] * span
             code += 1
         code <<= 1
-    _LUT_CACHE[key] = (sym, ln)
+    if cache_it:
+        _LUT_CACHE[key] = (sym, ln)
     return sym, ln
 
 
@@ -363,16 +369,23 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     seg_idx = 0
     preds = [0] * len(scan_comps)
     mcu_count = 0
-    # Entropy decode accumulates plain-int coefficient lists per
-    # component (numpy scalar boxing in the serial loop is ~10x plain
-    # ints); dequant + IDCT + plane assembly then run as ONE batched
-    # numpy pass per component below. The bit reader is fully INLINED
-    # as local ints (sbuf/snbits/spos/scons): at ~4 symbols decoded per
-    # microsecond the per-symbol function-call overhead of a reader
-    # object is the single largest cost. Bits past a segment's real end
-    # read as zeros (T.81 scan padding); CONSUMING past the end raises
-    # via _seg_overrun.
-    comp_blocks: list[list[list[int]]] = [[] for _ in scan_comps]
+    # Entropy decode fills PREALLOCATED (n_blocks, 64) int32 coefficient
+    # arrays per component (sparse element writes -- a noisy block has
+    # ~10 nonzero coefficients; int32 bounds peak memory at 4 B/coeff
+    # where per-block Python int lists cost ~36 B/coeff and would
+    # multiply peak memory several-fold on large images); dequant + IDCT
+    # + plane assembly then run as ONE batched numpy pass per component
+    # below. The bit reader is fully INLINED as local ints
+    # (sbuf/snbits/spos/scons): at ~4 symbols decoded per microsecond
+    # the per-symbol function-call overhead of a reader object is the
+    # single largest cost. Bits past a segment's real end read as zeros
+    # (T.81 scan padding); CONSUMING past the end raises via
+    # _seg_overrun.
+    coeff_arrs = [
+        np.zeros((mcuy * mcux * v * h, 64), dtype=np.int32)
+        for (_cid, h, v, _tq), _td, _ta in scan_comps
+    ]
+    blk_idx = [0] * len(scan_comps)
     luts = [(huff[(0, td)], huff[(1, ta)]) for _c, td, ta in scan_comps]
     sdata = segs[0]
     sn = len(sdata)
@@ -394,10 +407,12 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             mcu_count += 1
             for ci, ((_cid, h, v, _tq), _td, _ta) in enumerate(scan_comps):
                 (dc_sym, dc_len), (ac_sym, ac_len) = luts[ci]
-                blocks = comp_blocks[ci]
+                carr = coeff_arrs[ci]
+                bi = blk_idx[ci]
                 pred = preds[ci]
                 for _b in range(v * h):
-                    zz = [0] * 64
+                    zz = carr[bi]
+                    bi += 1
                     if snbits < 16:
                         while snbits < 16:
                             if spos < sn:
@@ -486,14 +501,14 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                             else diff - (1 << s) + 1
                         )
                         k += 1
-                    blocks.append(zz)
                 preds[ci] = pred
+                blk_idx[ci] = bi
     # batched dequant + IDCT + plane assembly + level shift + upsample
     out_planes = []
     for ci, ((_cid, h, v, tq), _td, _ta) in enumerate(scan_comps):
         q = qt[tq]
-        zz_arr = np.asarray(comp_blocks[ci], dtype=np.float64)
-        coef = np.zeros_like(zz_arr)
+        zz_arr = coeff_arrs[ci]
+        coef = np.zeros(zz_arr.shape, dtype=np.float64)
         # zz is scan-order; q is natural-order -> q[_ZZ] realigns the
         # quantizer to scan positions
         coef[:, _ZZ] = zz_arr * q[_ZZ]

@@ -16,7 +16,26 @@ format, so pipelines and tests run end-to-end on arbitrary payloads.
 
 from __future__ import annotations
 
+import struct
+import wave
 import zlib
+
+# every exception an undecodable/corrupt payload can raise out of the
+# stdlib+numpy codecs: ValueError (jpeg.py wraps its internals; png/ppm
+# validation), zlib.error (corrupt IDAT deflate), struct.error /
+# IndexError / KeyError / EOFError (truncated containers), wave.Error
+# (bad RIFF/fmt), OSError (wave on non-seekable garbage)
+_DECODE_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    zlib.error,
+    struct.error,
+    wave.Error,
+    OSError,
+    IndexError,
+    KeyError,
+    EOFError,
+)
 
 MEDIA_META_SCHEMA = (
     "media_ref string, media_type string, width int, height int, "
@@ -195,12 +214,15 @@ def extract_media_features(
                                 f"decoding {kind!r} requires PIL/ffmpeg; "
                                 "PNG/PPM/baseline-JPEG/WAV features here are real"
                             )
-                    except (NotImplementedError, ValueError) as exc:
+                    except _DECODE_ERRORS as exc:
                         if not flag:
                             raise
                         mtype = "unknown"
                         feat = None
-                        status = f"undecodable:{kind}:{str(exc)[:120]}"
+                        status = (
+                            f"undecodable:{kind}:"
+                            f"{type(exc).__name__}:{str(exc)[:120]}"
+                        )
                 refs.append(ref)
                 types.append(mtype)
                 nbytes.append(len(data))

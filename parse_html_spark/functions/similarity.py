@@ -104,12 +104,21 @@ def lsh_buckets_col(vec_col, planes_stack, bits: int) -> "F.Column":
 
     P = np.ascontiguousarray(planes_stack, dtype=np.float64)
     n_tables = P.shape[0] // bits
+    dim = P.shape[1]
     weights = 1 << np.arange(bits, dtype=np.int64)
 
     def f(s):
         if len(s) == 0:
             return pd.Series([], dtype=object)
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in s.values])
+        # NULL embedding -> zero vector -> all signs false -> bucket 0,
+        # matching the replaced Column chain (null dot > 0 is false)
+        zero = np.zeros(dim)
+        V = np.stack(
+            [
+                np.asarray(v, dtype=np.float64) if v is not None else zero
+                for v in s.values
+            ]
+        )
         signs = (V @ P.T) > 0  # (batch, tables*bits)
         buckets = signs.reshape(len(s), n_tables, bits).astype(np.int64) @ weights
         return pd.Series(list(buckets))
@@ -214,7 +223,15 @@ def ivf_assignments(
     def f(s):
         if len(s) == 0:
             return pd.Series([], dtype="int32")
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in s.values])
+        # NULL embedding -> zero vector -> argmax of zeros -> cell 0,
+        # matching the replaced strict-> fold (null dots never improve)
+        zero = np.zeros(C.shape[1])
+        V = np.stack(
+            [
+                np.asarray(v, dtype=np.float64) if v is not None else zero
+                for v in s.values
+            ]
+        )
         return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
 
     return df.withColumn("_ivf_cell", pandas_udf(f, "int")(F.col(vec_col)))

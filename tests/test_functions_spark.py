@@ -424,6 +424,29 @@ def test_simhash_batch_invariant_to_empty_neighbors(spark):
     assert got_mixed[1] == 0 and got_mixed[3] == 0
 
 
+def test_null_embedding_rows_survive_signature_udfs(spark):
+    """Review r4: a NULL embedding must flow through the matmul
+    signature UDFs as bucket/cell 0 (the replaced Column chain's
+    null-dot semantics), not crash the task in np.stack."""
+    from parse_html_spark.functions.similarity import (
+        ivf_assignments,
+        lsh_candidate_pairs,
+    )
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, None), (2, [1.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(df, dim=4, tables=2, bits=3).collect()
+    }
+    assert (0, 2) in pairs  # identical vectors still collide
+    cells = {
+        r["vec_id"]: r["_ivf_cell"]
+        for r in ivf_assignments(df, dim=4, n_cells=4).collect()
+    }
+    assert len(cells) == 3 and cells[1] == 0  # null row -> cell 0
+
+
 def test_hot_bucket_soak_default_caps(spark):
     """Mega-bucket soak at the DEFAULT caps: 20k identical near-empty
     docs funnel into one bucket per band (a 2e8-row-per-band self-join

@@ -197,10 +197,31 @@ def test_media_features_flag_mode_mixed_corpus(spark):
         ],
         "media_ref string, payload binary",
     )
+    import struct
+    import zlib
+
+    # valid PNG signature + IHDR but corrupt deflate IDAT: raises
+    # zlib.error (not ValueError) -- flag mode must still catch it
+    ihdr_body = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    ihdr = (
+        struct.pack(">I", len(ihdr_body)) + b"IHDR" + ihdr_body
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_body))
+    )
+    idat = struct.pack(">I", 8) + b"IDAT" + b"GARBAGE!" + b"\x00" * 4
+    bad_png = b"\x89PNG\r\n\x1a\n" + ihdr + idat
+
+    df = df.unionByName(
+        spark.createDataFrame(
+            [("media://badpng", bytearray(bad_png))],
+            "media_ref string, payload binary",
+        )
+    )
     rows = {
         r["media_ref"]: r
         for r in extract_media_features(df, fake=False, on_error="flag").collect()
     }
+    assert rows["media://badpng"]["status"].startswith("undecodable:png:")
+    assert rows["media://badpng"]["feature"] is None
     assert rows["media://ok"]["status"] == "ok"
     assert len(rows["media://ok"]["feature"]) == 8
     assert rows["media://prog"]["status"].startswith("undecodable:jpeg:")
