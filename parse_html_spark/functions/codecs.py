@@ -42,7 +42,50 @@ def sniff(data: bytes) -> str:
     return "unknown"
 
 
+# decoder error contract (mirrors jpeg.decode_jpeg): undecodable or
+# corrupt payloads raise ValueError, never a bare zlib/struct/index
+# error -- callers (and media.extract_media_features flag mode) match
+# ONE exception type for web-crawled bytes
+_RAW_DECODE_ERRORS = (
+    zlib.error,
+    struct.error,
+    IndexError,
+    KeyError,
+    EOFError,
+    OverflowError,
+)
+
+
 def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> (H, W, C) uint8 array. 8-bit depth, no interlace.
+    Malformed input raises ValueError (single matchable type)."""
+    try:
+        return _decode_png_impl(data)
+    except _RAW_DECODE_ERRORS as exc:
+        raise ValueError(f"truncated or malformed PNG: {exc!r}") from exc
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """P6 PPM -> (H, W, 3) uint8 array; ValueError on malformed input."""
+    try:
+        return _decode_ppm_impl(data)
+    except _RAW_DECODE_ERRORS as exc:
+        raise ValueError(f"truncated or malformed PPM: {exc!r}") from exc
+
+
+def decode_wav(data: bytes):
+    """16-bit PCM WAV -> (samples int16 array, rate); ValueError on
+    malformed input."""
+    import wave as _wave
+
+    try:
+        return _decode_wav_impl(data)
+    # stdlib wave raises bare RuntimeError on some corrupt chunk layouts
+    except _RAW_DECODE_ERRORS + (_wave.Error, OSError, RuntimeError) as exc:
+        raise ValueError(f"truncated or malformed WAV: {exc!r}") from exc
+
+
+def _decode_png_impl(data: bytes) -> np.ndarray:
     """PNG -> (H, W, C) uint8 array. 8-bit depth, no interlace."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG")
@@ -151,7 +194,7 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
-def decode_ppm(data: bytes) -> np.ndarray:
+def _decode_ppm_impl(data: bytes) -> np.ndarray:
     """P6 (binary RGB, maxval<=255) -> (H, W, 3) uint8."""
     if data[:2] != b"P6":
         raise ValueError("not a P6 PPM")
@@ -185,7 +228,7 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     ).tobytes()
 
 
-def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+def _decode_wav_impl(data: bytes) -> tuple[np.ndarray, int]:
     """WAV -> ((n_samples, n_channels) int16 array, sample_rate)."""
     with wave.open(io.BytesIO(data), "rb") as wf:
         if wf.getsampwidth() != 2:

@@ -97,6 +97,47 @@ def test_wav_roundtrip():
     assert rate == 8000 and (out == pcm).all()
 
 
+def test_decoder_valueerror_contract_fuzz():
+    """PNG/PPM/WAV decoders match decode_jpeg's single-exception
+    contract: corrupted payloads either decode or raise ValueError --
+    never a bare zlib.error / struct.error / wave.Error / IndexError
+    (round-4 unification; media flag mode and crawl callers rely on
+    one matchable type)."""
+    from parse_html_spark.functions.codecs import (
+        decode_png,
+        decode_ppm,
+        decode_wav,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    wav = encode_wav((rng.randint(-300, 300, 64)).astype(np.int16), 8000)
+    corpora = [
+        (decode_png, encode_png(img)),
+        (decode_ppm, encode_ppm(img)),
+        (decode_wav, wav),
+    ]
+    for fn, data in corpora:
+        data = bytes(data)
+        for _ in range(200):
+            mut = bytearray(data)
+            for _ in range(rng.randint(1, 4)):
+                op = rng.randint(3)
+                if op == 0:
+                    mut[rng.randint(len(mut))] = rng.randint(256)
+                elif op == 1 and len(mut) > 10:
+                    del mut[rng.randint(len(mut))]
+                elif len(mut) > 6:
+                    mut = mut[: rng.randint(2, len(mut))]
+            try:
+                fn(bytes(mut))
+            except ValueError:
+                pass
+
+
 def test_resize_nearest_exact():
     a = _img(h=8, w=8)
     up = resize_nearest(a, 16, 16)
