@@ -142,25 +142,39 @@ def _decode_png_impl(data: bytes) -> np.ndarray:
         elif ftype in (3, 4):  # Average / Paeth recur on the left pixel
             # plain-int lists, not numpy scalars: per-element ndarray
             # indexing boxes a numpy scalar per access (~10x slower than
-            # list ints for this recurrence)
+            # list ints for this recurrence). The recurrence is
+            # independent PER CHANNEL LANE, so each lane runs with the
+            # left neighbor as a RUNNING LOCAL (a / c) over a zip --
+            # no per-pixel list indexing or x>=ch branching.
             row = line.tolist()
             up = prev.tolist()
             out_row = [0] * stride
-            if ftype == 3:
-                for x in range(stride):
-                    a = out_row[x - ch] if x >= ch else 0
-                    out_row[x] = (row[x] + ((a + up[x]) >> 1)) & 0xFF
-            else:
-                for x in range(stride):
-                    a = out_row[x - ch] if x >= ch else 0
-                    b = up[x]
-                    c = up[x - ch] if x >= ch else 0
-                    p = a + b - c
-                    pa = p - a if p >= a else a - p
-                    pb = p - b if p >= b else b - p
-                    pc = p - c if p >= c else c - p
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    out_row[x] = (row[x] + pred) & 0xFF
+            for lane in range(ch):
+                rl = row[lane::ch]
+                ul = up[lane::ch]
+                ol = []
+                append = ol.append
+                a = 0
+                if ftype == 3:
+                    for rx, ux in zip(rl, ul):
+                        a = (rx + ((a + ux) >> 1)) & 0xFF
+                        append(a)
+                else:
+                    c = 0
+                    for rx, ux in zip(rl, ul):
+                        p = a + ux - c
+                        pa = p - a if p >= a else a - p
+                        pb = p - ux if p >= ux else ux - p
+                        pc = p - c if p >= c else c - p
+                        pred = (
+                            a
+                            if (pa <= pb and pa <= pc)
+                            else (ux if pb <= pc else c)
+                        )
+                        a = (rx + pred) & 0xFF
+                        append(a)
+                        c = ux
+                out_row[lane::ch] = ol
             cur = np.asarray(out_row, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter {ftype}")

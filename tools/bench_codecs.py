@@ -110,8 +110,8 @@ def main() -> None:
         "Filters 0/1/2 are fully vectorized (copy / per-lane uint8 cumsum /",
         "whole-row add). Filters 3/4 (Average/Paeth) are sequential across",
         "pixels BY SPEC (each decoded pixel feeds the next prediction) and",
-        "run a per-pixel Python loop vectorized across channels; their",
-        "MB/s above is the honest cost envelope per decoded megapixel.",
+        "run per-channel-lane plain-int recurrences with running locals;",
+        "their MB/s above is the honest cost envelope per decoded megapixel.",
         "",
     ]
 
