@@ -432,6 +432,34 @@ def simhash_near_pairs(
 
 # -- n-gram Jaccard (ANSI-SQL expressible) ----------------------------------
 
+def _distinct_doc_tokens(df, text_col, id_col) -> DataFrame:
+    """(id, tok) rows: one per distinct non-empty lowercase token per
+    document (token_jaccard_pairs' exact tokenization)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(text_col)), r"\s+"))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
+def hot_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 1000,
+) -> DataFrame:
+    """(tok, df_count) of the tokens token_jaccard_pairs' default
+    max_df cap would drop for this corpus -- the token-join audit twin
+    of the LSH operators' *_hot_buckets reports."""
+    return (
+        _distinct_doc_tokens(df, text_col, id_col)
+        .groupBy("tok")
+        .agg(F.count("*").alias("df_count"))
+        .filter(F.col("df_count") > max_df)
+    )
+
+
 def token_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -455,12 +483,7 @@ def token_jaccard_pairs(
     exact join (only sane on small, known corpora). For corpus-scale
     near-dup detection prefer minhash_near_duplicates(), which only ever
     computes exact Jaccard within LSH candidate buckets."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.lower(text_col)), r"\s+"))
-        ).alias("tok"),
-    ).filter(F.col("tok") != "")
+    toks = _distinct_doc_tokens(df, text_col, id_col)
     if max_df is not None:
         hot = (
             toks.groupBy("tok")

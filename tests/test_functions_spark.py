@@ -514,6 +514,11 @@ def test_hot_bucket_soak_default_caps(spark):
         (r["tbl"], r["bucket_n"])
         for r in embedding_hot_buckets(vdf, dim=16).collect()
     ) == [(t, n) for t in range(8)]
+    from parse_html_spark.functions.dedup import hot_tokens
+
+    assert sorted(
+        (r["tok"], r["df_count"]) for r in hot_tokens(df).collect()
+    ) == [(t, n) for t in ("boilerplate", "empty", "near", "stub")]
 
 
 def test_lsh_hot_bucket_cap_bounds_join(spark):
