@@ -73,15 +73,16 @@ def decode_ppm(data: bytes) -> np.ndarray:
         raise ValueError(f"truncated or malformed PPM: {exc!r}") from exc
 
 
-def decode_wav(data: bytes):
-    """16-bit PCM WAV -> (samples int16 array, rate); ValueError on
-    malformed input."""
-    import wave as _wave
+# stdlib wave raises bare RuntimeError on some corrupt chunk layouts
+_WAV_DECODE_ERRORS = _RAW_DECODE_ERRORS + (wave.Error, OSError, RuntimeError)
 
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """16-bit PCM WAV -> ((n_samples, n_channels) int16 array, rate);
+    ValueError on malformed input."""
     try:
         return _decode_wav_impl(data)
-    # stdlib wave raises bare RuntimeError on some corrupt chunk layouts
-    except _RAW_DECODE_ERRORS + (_wave.Error, OSError, RuntimeError) as exc:
+    except _WAV_DECODE_ERRORS as exc:
         raise ValueError(f"truncated or malformed WAV: {exc!r}") from exc
 
 

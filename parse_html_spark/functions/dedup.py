@@ -434,13 +434,13 @@ def simhash_near_pairs(
 
 def _distinct_doc_tokens(df, text_col, id_col) -> DataFrame:
     """(id, tok) rows: one per distinct non-empty lowercase token per
-    document (token_jaccard_pairs' exact tokenization)."""
+    document -- tokens_col is the single pinned tokenization, so the
+    exact-Jaccard join, its max_df cap and the hot_tokens audit cannot
+    drift apart."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.lower(text_col)), r"\s+"))
-        ).alias("tok"),
-    ).filter(F.col("tok") != "")
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
 
 
 def hot_tokens(
@@ -485,12 +485,8 @@ def token_jaccard_pairs(
     computes exact Jaccard within LSH candidate buckets."""
     toks = _distinct_doc_tokens(df, text_col, id_col)
     if max_df is not None:
-        hot = (
-            toks.groupBy("tok")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("tok")
-        )
+        # the audit twin IS the cap computation -- one definition
+        hot = hot_tokens(df, text_col, id_col, max_df).select("tok")
         # hot-token list is tiny by construction -> broadcast anti-join
         toks = toks.join(F.broadcast(hot), "tok", "left_anti")
     sizes = toks.groupBy("id").agg(F.count("*").alias("n_tok"))

@@ -16,26 +16,15 @@ format, so pipelines and tests run end-to-end on arbitrary payloads.
 
 from __future__ import annotations
 
-import struct
-import wave
 import zlib
 
-# every exception an undecodable/corrupt payload can raise out of the
-# stdlib+numpy codecs: ValueError (jpeg.py wraps its internals; png/ppm
-# validation), zlib.error (corrupt IDAT deflate), struct.error /
-# IndexError / KeyError / EOFError (truncated containers), wave.Error
-# (bad RIFF/fmt), OSError (wave on non-seekable garbage)
-_DECODE_ERRORS = (
-    NotImplementedError,
-    ValueError,
-    zlib.error,
-    struct.error,
-    wave.Error,
-    OSError,
-    IndexError,
-    KeyError,
-    EOFError,
-)
+# the codecs guarantee a single-type error contract (decode_jpeg /
+# decode_png / decode_ppm / decode_wav wrap their raw error surfaces
+# into ValueError -- fuzz-pinned in test_codecs/test_jpeg), so flag
+# mode only needs ValueError plus the external-plug NotImplementedError;
+# anything else escaping a codec is a bug the fuzz contract should
+# surface, not silently flag
+_DECODE_ERRORS = (NotImplementedError, ValueError)
 
 MEDIA_META_SCHEMA = (
     "media_ref string, media_type string, width int, height int, "

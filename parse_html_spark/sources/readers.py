@@ -123,6 +123,10 @@ def read_span_docs_warc(
 
     ensure_py_files(spark)
     files = spark.read.format("binaryFile").load(path)
+    if isinstance(record_types, str):
+        # tuple("conversion") would explode into single characters and
+        # silently match nothing
+        record_types = (record_types,)
     wanted = tuple(record_types)
 
     def run(batches):
@@ -137,7 +141,11 @@ def read_span_docs_warc(
                     if rtype not in wanted:
                         continue
                     uri = headers.get("warc-target-uri", fpath)
-                    html = _http_payload(body).decode("utf-8", errors="replace")
+                    # only 'response' records carry an HTTP envelope;
+                    # stripping others would corrupt e.g. WET text that
+                    # happens to begin with 'HTTP/'
+                    payload = _http_payload(body) if rtype == "response" else body
+                    html = payload.decode("utf-8", errors="replace")
                     ids.append(f"{uri}#{off}")
                     spans.append(
                         [

@@ -71,6 +71,19 @@ def test_wet_reader_conversion_records(spark, tmp_path):
     # default WARC reader skips conversion records entirely
     assert read_span_docs_warc(spark, wet).count() == 0
 
+    # WET text that LOOKS like an HTTP response must not get its
+    # "envelope" stripped (only response records carry one), and a
+    # plain-string record_types must not explode into characters
+    tricky = str(tmp_path / "d.warc.wet")
+    text = b"HTTP/1.1 200 OK\r\nlooks-like: a header\r\n\r\nreal body"
+    write_warc(tricky, [("http://ex.com/t", text)], record_type="conversion")
+    got2 = read_span_docs_wet(spark, tricky).collect()
+    assert got2[0]["spans"][0]["text"] == text.decode()
+    assert got2[0]["n_chars"] == len(text)
+    from parse_html_spark.sources.readers import read_span_docs_warc as rw
+
+    assert rw(spark, tricky, record_types="conversion").count() == 1
+
 
 def test_jsonl_reader(spark, tmp_path):
     from parse_html_spark.pipeline import extract_spans
