@@ -159,6 +159,11 @@ def _build_decode_table(bits, vals):
         for _ in range(bits[length - 1]):
             v = vals[k]
             k += 1
+            if code >= (1 << length):
+                # corrupt DHT: code counts overflow the code space --
+                # list-slice assignment would silently EXTEND the LUT
+                # past 65536 entries and fail indirectly much later
+                raise ValueError("bad Huffman table: code counts overflow")
             base = code << (16 - length)
             span = 1 << (16 - length)
             sym[base : base + span] = [v] * span

@@ -86,6 +86,31 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42):
     return rng.randn(bits, dim).astype("float64")
 
 
+def _batch_matrix(values, dim: int):
+    """Stack one Arrow batch of embeddings into a (batch, dim) float64
+    matrix. NULL rows become zero vectors (pinned: bucket/cell 0, the
+    behavior of the Column chains these matmuls replaced). A row of the
+    WRONG length raises a ValueError naming the offending vector --
+    otherwise np.stack fails the whole task with an opaque 'all input
+    arrays must have the same shape' deep inside the pandas UDF."""
+    import numpy as np
+
+    zero = np.zeros(dim)
+    rows = []
+    for i, v in enumerate(values):
+        if v is None:
+            rows.append(zero)
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if a.shape != (dim,):
+            raise ValueError(
+                f"embedding length mismatch: expected dim={dim}, got "
+                f"{a.shape} at batch row {i}"
+            )
+        rows.append(a)
+    return np.stack(rows)
+
+
 def lsh_buckets_col(vec_col, planes_stack, bits: int) -> "F.Column":
     """ALL hyperplane sign-bucket ids in ONE Arrow-batched matmul.
 
@@ -112,13 +137,7 @@ def lsh_buckets_col(vec_col, planes_stack, bits: int) -> "F.Column":
             return pd.Series([], dtype=object)
         # NULL embedding -> zero vector -> all signs false -> bucket 0,
         # matching the replaced Column chain (null dot > 0 is false)
-        zero = np.zeros(dim)
-        V = np.stack(
-            [
-                np.asarray(v, dtype=np.float64) if v is not None else zero
-                for v in s.values
-            ]
-        )
+        V = _batch_matrix(s.values, dim)
         signs = (V @ P.T) > 0  # (batch, tables*bits)
         buckets = signs.reshape(len(s), n_tables, bits).astype(np.int64) @ weights
         return pd.Series(list(buckets))
@@ -225,13 +244,7 @@ def ivf_assignments(
             return pd.Series([], dtype="int32")
         # NULL embedding -> zero vector -> argmax of zeros -> cell 0,
         # matching the replaced strict-> fold (null dots never improve)
-        zero = np.zeros(C.shape[1])
-        V = np.stack(
-            [
-                np.asarray(v, dtype=np.float64) if v is not None else zero
-                for v in s.values
-            ]
-        )
+        V = _batch_matrix(s.values, C.shape[1])
         return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
 
     return df.withColumn("_ivf_cell", pandas_udf(f, "int")(F.col(vec_col)))

@@ -42,6 +42,39 @@ def extract_spans_stream(
     return writer.start()
 
 
+def _make_first_seen(state_ttl_ms):
+    """The applyInPandasWithState function for first-seen dedup, built
+    module-level so the chunk-fold semantics are directly unit-testable
+    (tests feed multi-chunk pdf_iters with a fake state)."""
+    import pandas as pd
+
+    def first_seen(key, pdf_iter, state):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # evict: the fp may be emitted again later
+            return iter(())
+        if state.exists:
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)  # refresh TTL
+            return iter(())
+        # fold the min across ALL Arrow chunks: a fingerprint group
+        # larger than one record batch arrives as several pdfs, and the
+        # pinned keeper rule is the group-wide min(doc_id)
+        first_doc = None
+        for pdf in pdf_iter:
+            if len(pdf):
+                chunk_min = min(pdf["doc_id"])
+                if first_doc is None or chunk_min < first_doc:
+                    first_doc = chunk_min
+        if first_doc is None:
+            return iter(())
+        state.update((True,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        return iter([pd.DataFrame({"fp": [key[0]], "doc_id": [first_doc]})])
+
+    return first_seen
+
+
 def streaming_dedup_first_seen(
     spark,
     input_dir: str,
@@ -63,7 +96,6 @@ def streaming_dedup_first_seen(
     (default) state never expires (exact first-seen, unbounded state).
 
     Output rows: (fp, doc_id) of first-seen documents."""
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -89,25 +121,7 @@ def streaming_dedup_first_seen(
         ).alias("fp"),
     )
 
-    def first_seen(key, pdf_iter, state):
-        if state_ttl_ms is not None and state.hasTimedOut:
-            state.remove()  # evict: the fp may be emitted again later
-            return iter(())
-        if state.exists:
-            if state_ttl_ms is not None:
-                state.setTimeoutDuration(state_ttl_ms)  # refresh TTL
-            return iter(())
-        first_doc = None
-        for pdf in pdf_iter:
-            if len(pdf) and first_doc is None:
-                first_doc = min(pdf["doc_id"])
-        if first_doc is None:
-            return iter(())
-        state.update((True,))
-        if state_ttl_ms is not None:
-            state.setTimeoutDuration(state_ttl_ms)
-        return iter([pd.DataFrame({"fp": [key[0]], "doc_id": [first_doc]})])
-
+    first_seen = _make_first_seen(state_ttl_ms)
     out = docs.groupBy("fp").applyInPandasWithState(
         first_seen,
         outputStructType="fp string, doc_id string",

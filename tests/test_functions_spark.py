@@ -551,3 +551,17 @@ def test_lsh_hot_bucket_cap_bounds_join(spark):
     got = {(r["id_a"], r["id_b"]) for r in sim.collect()}
     # the identical-signature mega-cluster is suppressed under the cap
     assert not any(a < 1000 and b < 1000 for a, b in got)
+
+
+def test_mixed_dimension_embeddings_fail_with_named_length():
+    """ADVICE r4: an embedding of the wrong length must raise a
+    ValueError naming the offending length, not an opaque np.stack
+    shape error from inside the pandas UDF."""
+    import pytest
+
+    from parse_html_spark.functions.similarity import _batch_matrix
+
+    good = _batch_matrix([[1.0, 2.0], None, [3.0, 4.0]], dim=2)
+    assert good.shape == (3, 2) and list(good[1]) == [0.0, 0.0]
+    with pytest.raises(ValueError, match="expected dim=4.*batch row 1"):
+        _batch_matrix([[1.0] * 4, [1.0] * 3], dim=4)

@@ -306,3 +306,23 @@ def test_non_interleaved_multiscan_rejected():
     patched = bytes(data[:sos]) + seg + bytes(data[sos + 14 :])
     with pytest.raises(ValueError, match="non-interleaved"):
         decode_jpeg(patched)
+
+
+def test_overflowing_dht_code_counts_raise():
+    """ADVICE r4: a corrupt DHT whose code counts overflow the code
+    space must raise ValueError AT the corruption (list-slice assignment
+    would otherwise silently extend the LUT past 65536 entries and fail
+    indirectly much later)."""
+    from parse_html_spark.functions.jpeg import _build_decode_table
+
+    # 3 codes of length 1 is impossible (only 2 exist)
+    bits = [3] + [0] * 15
+    with pytest.raises(ValueError, match="Huffman"):
+        _build_decode_table(bits, [0, 1, 2])
+    # 2 codes of length 1 + any code of length 2 also overflows
+    bits = [2, 1] + [0] * 14
+    with pytest.raises(ValueError, match="Huffman"):
+        _build_decode_table(bits, [0, 1, 2])
+    # the valid boundary still builds: exactly 2^L codes at one length
+    sym, ln = _build_decode_table([2] + [0] * 15, [7, 9])
+    assert len(sym) == 65536 and len(ln) == 65536

@@ -287,3 +287,44 @@ def test_streaming_near_dup_covers_batch_verified_pairs(spark, tmp_path):
     batch_pairs = {frozenset((r["id_a"], r["id_b"])) for r in verified}
     assert len(batch_pairs) == 8  # one per planted duplicate
     assert batch_pairs <= stream_pairs
+
+
+def test_first_seen_folds_min_across_arrow_chunks():
+    """ADVICE r4: a fingerprint group spanning multiple Arrow record
+    batches must emit the GROUP-WIDE min(doc_id), not the min of the
+    first non-empty chunk (the pinned batch keeper rule)."""
+    import pandas as pd
+
+    from parse_html_spark.streaming import _make_first_seen
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists = True
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self.exists = False
+
+    fn = _make_first_seen(None)
+    chunks = iter(
+        [
+            pd.DataFrame({"doc_id": ["50", "90"]}),
+            pd.DataFrame({"doc_id": []}),
+            pd.DataFrame({"doc_id": ["10", "70"]}),  # group min in chunk 3
+        ]
+    )
+    out = list(fn(("fp0",), chunks, FakeState()))
+    assert len(out) == 1
+    assert out[0]["doc_id"].tolist() == ["10"]
+    # and the TTL variant folds identically
+    fn_ttl = _make_first_seen(60_000)
+    chunks = iter(
+        [pd.DataFrame({"doc_id": ["9"]}), pd.DataFrame({"doc_id": ["08"]})]
+    )
+    out = list(fn_ttl(("fp1",), chunks, FakeState()))
+    assert out[0]["doc_id"].tolist() == ["08"]  # lexicographic string min
