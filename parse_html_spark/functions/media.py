@@ -231,3 +231,27 @@ def extract_media_features(
 
     schema = FEATURE_SCHEMA + (", status string" if flag else "")
     return df.mapInPandas(run, schema=schema)
+
+
+def media_decode_census(df):
+    """Roll extract_media_features(on_error='flag') output into the
+    corpus decode census a crawl operator reads in one call: one row
+    per failure MODE -- (status_class, n_payloads, total_bytes),
+    ordered by byte volume. 'ok' stays 'ok'; failures bucket to
+    'undecodable:<kind>' (the per-payload exception detail after the
+    second ':' is variable and would shatter the groupBy). Pure
+    Column expressions: the rollup is a partial-aggregated groupBy on
+    a tiny status domain, nothing leaves the JVM."""
+    from pyspark.sql import functions as F
+
+    status_class = F.concat_ws(
+        ":", F.slice(F.split(F.col("status"), ":"), 1, 2)
+    )
+    return (
+        df.groupBy(status_class.alias("status_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy(F.desc("total_bytes"), "status_class")
+    )

@@ -45,19 +45,35 @@ def read_span_docs_jsonl(spark, path: str):
     )
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (stdlib only)."""
+def _gunzip_members(data: bytes) -> tuple[bytes, str | None]:
+    """Decompress concatenated gzip members (stdlib only).
+
+    Returns (bytes decompressed so far, error string or None). A
+    truncated final member, a corrupt stream mid-member, or trailing
+    garbage after the last member never raises: at 100k-archive crawl
+    scale one bad file must degrade to partial records + a census
+    entry, not a permanently dead task (the caller decides whether to
+    raise via its on_error mode)."""
     out = bytearray()
     pos = 0
     while pos < len(data):
+        if data[pos : pos + 2] != b"\x1f\x8b":
+            return bytes(out), f"trailing garbage at byte {pos}"
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.extend(d.decompress(data[pos:]))
-        out.extend(d.flush())
+        try:
+            out.extend(d.decompress(data[pos:]))
+            out.extend(d.flush())
+        except zlib.error as exc:
+            return bytes(out), f"corrupt gzip member at byte {pos}: {exc}"
+        if not d.eof:
+            # ran out of input mid-member: decompress() returned what
+            # it could without raising
+            return bytes(out), f"truncated gzip member at byte {pos}"
         tail = d.unused_data
         if not tail:
             break
         pos = len(data) - len(tail)
-    return bytes(out)
+    return bytes(out), None
 
 
 def parse_warc_records(data: bytes):
@@ -104,7 +120,10 @@ def _http_payload(body: bytes) -> bytes:
 
 
 def read_span_docs_warc(
-    spark, path: str, record_types: tuple[str, ...] = ("response", "resource")
+    spark,
+    path: str,
+    record_types: tuple[str, ...] = ("response", "resource"),
+    on_error: str = "raise",
 ):
     """WARC archives -> span-doc table (doc_id, spans, n_chars).
 
@@ -114,6 +133,18 @@ def read_span_docs_warc(
     stripped, other types carry the body verbatim).
     doc_id = WARC-Target-URI#record-offset.
 
+    on_error mirrors extract_media_features: 'raise' (default) turns a
+    corrupt/truncated archive into a ValueError (fail fast -- right for
+    curated inputs); 'flag' degrades GRACEFULLY for crawl-scale mixed
+    corpora: records parsed before the corruption point are still
+    yielded, the schema gains a ``status`` column ('ok',
+    'truncated_record:<declared>/<got>', 'bad_content_length:<raw>'),
+    and an archive whose decompression failed additionally yields ONE
+    zero-span census row (doc_id='<path>#ARCHIVE_ERROR',
+    status='archive_error:<reason>') so groupBy(status) — or
+    warc_decode_census() — shows the corruption mix instead of a dead
+    task. Filter status = 'ok' for the clean corpus.
+
     record_types=("conversion",) reads Common Crawl WET archives (the
     pre-extracted plain-text sibling of the crawl) -- see
     read_span_docs_wet."""
@@ -121,6 +152,9 @@ def read_span_docs_warc(
 
     from ..session import ensure_py_files
 
+    if on_error not in ("raise", "flag"):
+        raise ValueError(f"on_error must be 'raise' or 'flag': {on_error!r}")
+    flag = on_error == "flag"
     ensure_py_files(spark)
     files = spark.read.format("binaryFile").load(path)
     if isinstance(record_types, str):
@@ -131,52 +165,105 @@ def read_span_docs_warc(
 
     def run(batches):
         for pdf in batches:
-            ids, spans, nchars = [], [], []
+            ids, spans, nchars, statuses = [], [], [], []
+
+            def emit(doc_id, text, status):
+                ids.append(doc_id)
+                spans.append(
+                    [
+                        {
+                            "kind": "text",
+                            "text": text,
+                            "media_ref": None,
+                            "offset": 0,
+                        }
+                    ]
+                    if text is not None
+                    else []
+                )
+                nchars.append(len(text) if text is not None else 0)
+                statuses.append(status)
+
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
+                arch_err = None
                 if fpath.endswith(".gz") or data[:2] == b"\x1f\x8b":
-                    data = _gunzip_members(data)
+                    data, arch_err = _gunzip_members(data)
+                    if arch_err is not None and not flag:
+                        raise ValueError(f"{fpath}: {arch_err}")
                 for headers, body, off in parse_warc_records(data):
                     rtype = headers.get("warc-type", "")
                     if rtype not in wanted:
                         continue
                     uri = headers.get("warc-target-uri", fpath)
+                    raw_len = headers.get("content-length", "0")
+                    status = "ok"
+                    try:
+                        declared = int(raw_len)
+                    except ValueError:
+                        declared = 0
+                        status = f"bad_content_length:{raw_len}"
+                    if len(body) < declared:
+                        # archive ended mid-record: the slice came up
+                        # short of the declared Content-Length
+                        status = f"truncated_record:{declared}/{len(body)}"
+                    if status != "ok" and not flag:
+                        raise ValueError(f"{fpath}#{off}: {status}")
                     # only 'response' records carry an HTTP envelope;
                     # stripping others would corrupt e.g. WET text that
                     # happens to begin with 'HTTP/'
                     payload = _http_payload(body) if rtype == "response" else body
-                    html = payload.decode("utf-8", errors="replace")
-                    ids.append(f"{uri}#{off}")
-                    spans.append(
-                        [
-                            {
-                                "kind": "text",
-                                "text": html,
-                                "media_ref": None,
-                                "offset": 0,
-                            }
-                        ]
+                    emit(
+                        f"{uri}#{off}",
+                        payload.decode("utf-8", errors="replace"),
+                        status,
                     )
-                    nchars.append(len(html))
+                if arch_err is not None:
+                    # flag mode (raise already fired): one census row
+                    # per damaged archive, zero spans so it never leaks
+                    # text into extraction
+                    emit(f"{fpath}#ARCHIVE_ERROR", None, f"archive_error:{arch_err}")
             if not ids:
                 # an archive with no matching records must yield NO
                 # batch: Arrow cannot type an empty object column as
                 # array<struct> and would fail the task
                 continue
-            yield pd.DataFrame(
-                {"doc_id": ids, "spans": spans, "n_chars": nchars}
-            )
+            out = {"doc_id": ids, "spans": spans, "n_chars": nchars}
+            if flag:
+                out["status"] = statuses
+            yield pd.DataFrame(out)
 
-    return files.select("path", "content").mapInPandas(
-        run, schema=SPAN_DOC_SCHEMA
-    )
+    schema = SPAN_DOC_SCHEMA + (", status string" if flag else "")
+    return files.select("path", "content").mapInPandas(run, schema=schema)
 
 
-def read_span_docs_wet(spark, path: str):
+def read_span_docs_wet(spark, path: str, on_error: str = "raise"):
     """Common Crawl WET archives (WARC files of 'conversion' records
     holding pre-extracted plain text, no HTTP envelope) -> span-doc
     table. Same splitter, different record filter."""
-    return read_span_docs_warc(spark, path, record_types=("conversion",))
+    return read_span_docs_warc(
+        spark, path, record_types=("conversion",), on_error=on_error
+    )
+
+
+def warc_decode_census(df):
+    """Roll the on_error='flag' output of read_span_docs_warc /
+    read_span_docs_wet into a per-status census: (status, n_docs,
+    total_chars). Statuses carry variable detail after the first ':'
+    (offsets, lengths), so they are bucketed by their class prefix --
+    one row per failure MODE, not per failed record."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(
+            F.split(F.col("status"), ":").getItem(0).alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("status")
+    )
 
 
 def write_warc(

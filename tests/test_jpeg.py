@@ -232,6 +232,21 @@ def test_media_features_flag_mode_mixed_corpus(spark):
     with pytest.raises(Exception):
         extract_media_features(df, fake=False).collect()
 
+    # VERDICT r4 #7: the one-call census rolls the flag output up by
+    # failure MODE (variable exception detail bucketed away)
+    from parse_html_spark.functions.media import media_decode_census
+
+    feats = extract_media_features(df, fake=False, on_error="flag")
+    census = {
+        r["status_class"]: (r["n_payloads"], r["total_bytes"])
+        for r in media_decode_census(feats).collect()
+    }
+    assert census["ok"] == (1, len(good))
+    assert census["undecodable:jpeg"][0] == 1
+    assert census["undecodable:png"][0] == 1
+    assert census["undecodable:unknown"] == (1, 4)  # the junk bytes
+    assert sum(n for n, _ in census.values()) == 4
+
 
 def test_mutation_fuzz_error_contract():
     """Seeded mutation fuzz of the decoder's error contract: every

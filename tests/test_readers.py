@@ -112,3 +112,127 @@ def test_jsonl_reader(spark, tmp_path):
     assert docs.count() == 3
     out = extract_spans(docs).collect()
     assert {r["doc_id"] for r in out} == {"j-0", "j-1", "j-2"}
+
+
+def test_gunzip_members_tolerates_corruption():
+    """VERDICT r4 #2: truncated/corrupt gzip members yield the bytes
+    decompressed so far + an error string, never an exception."""
+    import gzip
+    import random
+
+    from parse_html_spark.sources.readers import _gunzip_members
+
+    m1 = gzip.compress(b"first member payload ")
+    m2 = gzip.compress(b"second member payload")
+    # clean: both members, no error
+    out, err = _gunzip_members(m1 + m2)
+    assert out == b"first member payload second member payload" and err is None
+    # truncated second member: first member survives, flagged
+    out, err = _gunzip_members(m1 + m2[: len(m2) // 2])
+    assert out.startswith(b"first member payload") and err is not None
+    # trailing garbage after the last member
+    out, err = _gunzip_members(m1 + b"\x00garbage\xff")
+    assert out == b"first member payload " and "trailing garbage" in err
+    # pure driver-side mutation fuzz (fast; mirrors test_jpeg's
+    # contract): any single-byte flip or truncation -> (bytes, str|None)
+    rng = random.Random(42)
+    blob = m1 + m2
+    for _ in range(2000):
+        b = bytearray(blob)
+        if rng.random() < 0.5:
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            data = bytes(b)
+        else:
+            data = bytes(b[: rng.randrange(len(b) + 1)])
+        out, err = _gunzip_members(data)  # must never raise
+        assert isinstance(out, bytes)
+
+
+def test_parse_warc_records_never_raises_on_garbage():
+    import random
+
+    rng = random.Random(7)
+    for _ in range(500):
+        n = rng.randrange(0, 400)
+        data = bytes(rng.randrange(256) for _ in range(n))
+        list(parse_warc_records(data))  # must never raise
+    # adversarial shapes: header without terminator, huge content-length
+    list(parse_warc_records(b"WARC/1.0\r\nWARC-Type: response"))
+    recs = list(
+        parse_warc_records(
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Length: 999999999\r\n\r\nshort"
+        )
+    )
+    assert len(recs) == 1 and recs[0][1] == b"short"  # parsed-so-far
+
+
+def test_warc_reader_flag_mode_mixed_archives(spark, tmp_path):
+    """VERDICT r4 #2 end-to-end: a crawl directory where some archives
+    are truncated/corrupt must yield every record parsed before the
+    corruption point plus a census, not a dead task."""
+    from parse_html_spark.sources.readers import warc_decode_census
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    # archive 0: clean
+    write_warc(str(d / "ok.warc.gz"), PAGES, gzip_members=True)
+    # archive 1: second gzip member truncated -> page a survives
+    write_warc(str(d / "trunc.warc.gz"), PAGES, gzip_members=True)
+    blob = open(d / "trunc.warc.gz", "rb").read()
+    # cut 10 bytes into the second gzip member (found by its magic)
+    second = blob.find(b"\x1f\x8b", 2)
+    assert second > 0
+    open(d / "trunc.warc.gz", "wb").write(blob[: second + 10])
+    # archive 2: plain WARC cut mid-record -> truncated_record status
+    write_warc(str(d / "cut.warc"), PAGES)
+    raw = open(d / "cut.warc", "rb").read()
+    open(d / "cut.warc", "wb").write(raw[: len(raw) - 30])
+    # archive 3: corrupt Content-Length header
+    open(d / "badlen.warc", "wb").write(
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://ex.com/bad\r\n"
+        b"Content-Length: NaN\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\nbody text"
+    )
+    # archive 4: pure garbage with .gz name
+    open(d / "junk.warc.gz", "wb").write(b"\x00\x01\x02 not gzip at all")
+
+    docs = read_span_docs_warc(spark, str(d), on_error="flag")
+    rows = docs.collect()
+    classes = {r["status"].split(":")[0] for r in rows}
+    assert classes == {"ok", "truncated_record", "bad_content_length",
+                       "archive_error"}
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"].split(":")[0], []).append(r)
+    # clean archive contributes both pages; truncated gz keeps page a
+    ok_uris = {r["doc_id"].split("#")[0] for r in by_status["ok"]}
+    assert "http://ex.com/a" in ok_uris and "http://ex.com/b" in ok_uris
+    # archive-error census rows carry zero spans (nothing leaks into
+    # extraction) and name the archive
+    for r in by_status["archive_error"]:
+        assert r["spans"] == [] and r["n_chars"] == 0
+        assert "ARCHIVE_ERROR" in r["doc_id"]
+    # the one-call census rolls up by failure mode
+    census = {r["status"]: r["n_docs"] for r in warc_decode_census(docs).collect()}
+    assert census["ok"] >= 3 and census["archive_error"] >= 1
+
+    # raise mode (the default) fails fast on the same directory
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        read_span_docs_warc(spark, str(d)).collect()
+    assert "ValueError" in str(ei.value) or isinstance(ei.value, ValueError)
+
+
+def test_warc_flag_mode_clean_archive_all_ok(spark, tmp_path):
+    """Flag mode on a clean archive: every status 'ok', and dropping the
+    status column reproduces the default-mode table exactly."""
+    gz = str(tmp_path / "clean.warc.gz")
+    write_warc(gz, PAGES, gzip_members=True)
+    flagged = read_span_docs_warc(spark, gz, on_error="flag")
+    assert {r["status"] for r in flagged.collect()} == {"ok"}
+    plain = sorted(repr(r) for r in read_span_docs_warc(spark, gz).collect())
+    assert sorted(repr(r) for r in flagged.drop("status").collect()) == plain
