@@ -809,24 +809,36 @@ def _q_stream_dedup(spark, sf_dir):
 
 def _q_stream_lsh(spark, sf_dir):
     """Streaming stateful MinHash-LSH near-dup candidates oracle-checked
-    EXACTLY: docs 100-159 (verified margin: max non-planted minhash
-    agreement 0.094 << 0.6 threshold at sf0.001/0.01/0.1, and no
-    non-planted pair agrees on any full band) plus planted exact copies
-    (id + 20000000). Copies sort lexicographically after originals in
-    the single micro-batch, so every bucket stores the original and the
-    copy emits (copy, original, est=1.0) -- the complete output is
-    SQL-predictable."""
+    EXACTLY over the FULL sf slice (VERDICT r4 #4; 952+ docs vs round
+    4's 120): every document EXCEPT the corpus's built-in near-dup
+    extensions (an SQL-expressible exclusion: docs whose text extends a
+    shorter doc's text as a prefix, or exactly duplicates an
+    earlier-id doc's text -- those pairs have minhash agreement up to
+    1.0 at unpredictable fractions like 31/32) plus one planted exact
+    copy (id + 20000000) per kept doc. Verified margin on the kept set:
+    max non-planted minhash agreement 0.156 (sf0.001) / 0.125 (sf0.01)
+    / 0.219 (sf0.1), all ~3-5x under the 0.6 threshold, so the complete
+    output is exactly one (lex-later, lex-earlier, 1.0) edge per
+    original/copy pair. Lex direction matters: copies '2000000x' sort
+    BEFORE originals starting with digits > '2', so both orders occur
+    and greatest/least on the VARCHAR ids predicts each edge."""
     import duckdb
 
     from parse_html_spark.streaming import streaming_near_dup_candidates
 
     rows = duckdb.sql(
-        "SELECT CAST(doc_id AS VARCHAR), text FROM "
-        f"read_parquet('{sf_dir}/documents.parquet') "
-        "WHERE doc_id >= 100 AND doc_id < 160 "
-        "UNION ALL SELECT CAST(doc_id + 20000000 AS VARCHAR), text FROM "
-        f"read_parquet('{sf_dir}/documents.parquet') "
-        "WHERE doc_id >= 100 AND doc_id < 160 ORDER BY 1"
+        "WITH kept AS (SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') a "
+        "WHERE NOT EXISTS (SELECT 1 FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') b "
+        "WHERE b.text = a.text AND b.doc_id < a.doc_id) "
+        "AND NOT EXISTS (SELECT 1 FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') b "
+        "WHERE length(b.text) < length(a.text) "
+        "AND starts_with(a.text, b.text))) "
+        "SELECT CAST(doc_id AS VARCHAR), text FROM kept "
+        "UNION ALL SELECT CAST(doc_id + 20000000 AS VARCHAR), text "
+        "FROM kept ORDER BY 1"
     ).fetchall()
 
     def start(in_dir, out_dir, ckpt):
@@ -895,6 +907,45 @@ def _q_warc_source(spark, sf_dir):
         gzip_members=True,
     )
     df = read_span_docs_warc(spark, d)
+    return df.select(
+        F.split(F.col("doc_id"), "#")[0].alias("uri"),
+        F.element_at("spans", 1)["text"].alias("text"),
+        F.col("n_chars"),
+    )
+
+
+def _q_wet_source(spark, sf_dir):
+    """WET source reader under the oracle gate (VERDICT r4 #8): the full
+    document table round-trips through a .warc.wet.gz archive of
+    'conversion' records (Common Crawl's pre-extracted-text sibling) and
+    back out of read_span_docs_wet. Every 5th document's text gets an
+    'HTTP/1.1 200 OK\\r\\n\\r\\n' prefix to pin the rule that conversion
+    records NEVER get an HTTP envelope stripped -- under the response
+    reader that prefix would vanish; here the oracle requires it
+    byte-for-byte intact."""
+    import os
+
+    import duckdb
+
+    from parse_html_spark.sources.readers import read_span_docs_wet, write_warc
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    d = _scratch_dir("spark_graft_wet_")
+    pages = []
+    for i, t in rows:
+        if i % 5 == 0:
+            t = "HTTP/1.1 200 OK\r\n\r\n" + t
+        pages.append((f"http://w/{i}", t.encode("utf-8")))
+    write_warc(
+        os.path.join(d, "part-0.warc.wet.gz"),
+        pages,
+        gzip_members=True,
+        record_type="conversion",
+    )
+    df = read_span_docs_wet(spark, d)
     return df.select(
         F.split(F.col("doc_id"), "#")[0].alias("uri"),
         F.element_at("spans", 1)["text"].alias("text"),
@@ -1072,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_lsh": _q_stream_lsh,
         "mega_spans": _q_mega_spans,
         "warc_source": _q_warc_source,
+        "wet_source": _q_wet_source,
         "jsonl_source": _q_jsonl_source,
         "node_counts": _q_node_counts,
         "node_descendants": _q_node_descendants,
@@ -1380,10 +1432,17 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY text"
         ),
         "stream_lsh": (
-            "SELECT CAST(doc_id + 20000000 AS VARCHAR) AS doc_id, "
-            "CAST(doc_id AS VARCHAR) AS dup_of, "
-            "CAST(1.0 AS DOUBLE) AS est_jaccard FROM documents "
-            "WHERE doc_id >= 100 AND doc_id < 160"
+            "WITH kept AS (SELECT doc_id FROM documents a "
+            "WHERE NOT EXISTS (SELECT 1 FROM documents b "
+            "WHERE b.text = a.text AND b.doc_id < a.doc_id) "
+            "AND NOT EXISTS (SELECT 1 FROM documents b "
+            "WHERE length(b.text) < length(a.text) "
+            "AND starts_with(a.text, b.text))) "
+            "SELECT greatest(CAST(doc_id AS VARCHAR), "
+            "CAST(doc_id + 20000000 AS VARCHAR)) AS doc_id, "
+            "least(CAST(doc_id AS VARCHAR), "
+            "CAST(doc_id + 20000000 AS VARCHAR)) AS dup_of, "
+            "CAST(1.0 AS DOUBLE) AS est_jaccard FROM kept"
         ),
         "mega_spans": (
             'SELECT doc_id, 0 AS "order", md5(repeat(text, 1000)) AS '
@@ -1393,6 +1452,13 @@ def oracle_sql() -> dict[str, str]:
         "warc_source": (
             "SELECT 'http://d/' || doc_id AS uri, text, "
             "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+        ),
+        "wet_source": (
+            "SELECT 'http://w/' || doc_id AS uri, "
+            "CASE WHEN doc_id % 5 = 0 THEN 'HTTP/1.1 200 OK' || chr(13) || "
+            "chr(10) || chr(13) || chr(10) || text ELSE text END AS text, "
+            "CAST(length(text) + CASE WHEN doc_id % 5 = 0 THEN 19 ELSE 0 END "
+            "AS BIGINT) AS n_chars FROM documents"
         ),
         "jsonl_source": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 3 AS n_spans, "

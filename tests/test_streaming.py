@@ -328,3 +328,33 @@ def test_first_seen_folds_min_across_arrow_chunks():
     )
     out = list(fn_ttl(("fp1",), chunks, FakeState()))
     assert out[0]["doc_id"].tolist() == ["08"]  # lexicographic string min
+
+
+def test_stream_lsh_oracle_margin_holds():
+    """The stream_lsh oracle's margin argument, pinned as a test: after
+    the SQL-expressible exclusion (prefix-extensions + exact-text dups
+    of earlier ids), no remaining pair of sf0.001 documents reaches
+    even half the 0.6 est-jaccard threshold, so the planted exact
+    copies are the complete predicted output."""
+    import duckdb
+    import numpy as np
+
+    from parse_html_spark.functions.dedup import _mh_coeffs, _minhash_sig
+
+    rows = duckdb.sql(
+        "WITH d AS (SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')) "
+        "SELECT text FROM d a "
+        "WHERE NOT EXISTS (SELECT 1 FROM d b WHERE b.text = a.text "
+        "AND b.doc_id < a.doc_id) "
+        "AND NOT EXISTS (SELECT 1 FROM d b WHERE "
+        "length(b.text) < length(a.text) AND starts_with(a.text, b.text))"
+    ).fetchall()
+    assert len(rows) >= 450  # the exclusion removes only the ~5% built-ins
+    coeffs = _mh_coeffs(32)
+    sigs = np.array(
+        [_minhash_sig(t, 32, 3, coeffs) for (t,) in rows], dtype=np.int64
+    )
+    agree = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+    np.fill_diagonal(agree, 0.0)
+    assert agree.max() < 0.3  # measured 0.156; threshold is 0.6
