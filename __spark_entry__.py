@@ -350,6 +350,46 @@ def _q_spans_media(spark, sf_dir):
     )
 
 
+def _q_refcompat_child(spark, sf_dir):
+    """Ref-compat mode A.8 UNDER THE ORACLE GATE (VERDICT r4 #5), both
+    ways: each document is wrapped so `#main > p.x` has one DIRECT
+    child match and one deeper-descendant match inside a <section>
+    child. CSS-correct mode returns only the direct child; ref-compat
+    mode re-searches each direct child's range as descendants
+    [ParseHTML.php:1796-1823], returning the deep match first (document
+    order) then the direct one -- the two modes' outputs diverge
+    predictably and BOTH are hash-checked."""
+    from parse_html_spark.pipeline import select_spans
+
+    docs = _documents(spark, sf_dir)
+    left = F.substring("text", 1, 20)
+    right = F.expr("substring(text, 21)")
+    html = F.concat(
+        F.lit('<div id="main"><section><p class="x">'),
+        left,
+        F.lit('</p></section><p class="x">'),
+        right,
+        F.lit("</p></div>"),
+    )
+    df = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            _span(F.lit("text"), html, F.lit(None).cast("string"), F.lit(0))
+        ).alias("spans"),
+    )
+    both = None
+    for label, rc in (("css", False), ("ref", True)):
+        out = select_spans(df, "#main > p.x", mode="text", ref_compat=rc)
+        out = out.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.lit(label).alias("mode"),
+            F.col("match_order").cast("int").alias("match_order"),
+            F.col("value"),
+        )
+        both = out if both is None else both.unionByName(out)
+    return both
+
+
 def _q_op_contains(spark, sf_dir):
     # *= substring, case-INSENSITIVE (SURVEY 2.4)
     from parse_html_spark.pipeline import select_spans
@@ -1093,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_table": _q_extract_table,
         "extract_form": _q_extract_form,
         "post_form": _q_post_form,
+        "refcompat_child": _q_refcompat_child,
         "op_contains": _q_op_contains,
         "op_word": _q_op_word,
         "op_prefix": _q_op_prefix,
@@ -1196,6 +1237,14 @@ def oracle_sql() -> dict[str, str]:
             "', \"sel\": [\"o' || lang || '\", \"p\"]' "
             "WHEN doc_id % 4 = 3 THEN ', \"note\": \"n-' || lang || '\"' "
             "ELSE '' END || '}' AS form_json FROM documents"
+        ),
+        "refcompat_child": (
+            "SELECT doc_id, 'css' AS mode, 0 AS match_order, "
+            "substr(text, 21) AS value FROM documents "
+            "UNION ALL SELECT doc_id, 'ref', 0, substr(text, 1, 20) "
+            "FROM documents "
+            "UNION ALL SELECT doc_id, 'ref', 1, substr(text, 21) "
+            "FROM documents"
         ),
         "op_contains": (
             "SELECT doc_id, 'Mari ' || lang AS title FROM documents"
