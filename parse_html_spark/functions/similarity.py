@@ -216,6 +216,124 @@ def ivf_train_centroids(
     return C
 
 
+def ivf_train_centroids_distributed(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample: int | None = 65536,
+    iters: int = 20,
+) -> "np.ndarray":
+    """EXECUTOR-SIDE Lloyd iterations: the same seeded spherical
+    k-means recipe as ivf_train_centroids, but each iteration's
+    assign-and-sum runs as a mapInPandas over the (distributed, cached)
+    sample, so ``sample`` scales past driver memory -- or pass
+    sample=None to train on the ENTIRE corpus. Only per-cell float64
+    partial sums cross to the driver each iteration (one row per cell
+    per Arrow batch: n_cells x dim doubles each, KBs total), never the
+    vectors; partials are reduced in sorted (cell, batch-key) order so
+    the reduction is deterministic for a fixed partition layout.
+
+    Parity with the driver recipe: identical sample membership (same
+    (xxhash64(id), id) top-k rule) and identical seeded init (indices
+    drawn from the same RandomState stream over the sorted sample), so
+    centroids match ivf_train_centroids to float-sum reordering --
+    np.allclose at atol=1e-8, pinned in tests. Keep the driver recipe
+    as the default (it IS the determinism baseline); switch to this
+    when raising ``sample`` past ~10^5 vectors (the driver collect at
+    65,536 x 64 is ~32 MB; 10x that should not ride the driver)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    sampled = df.select(
+        F.col(vec_col).alias("_v"),
+        F.xxhash64(F.col(id_col)).alias("_h"),
+        F.col(id_col).alias("_i"),
+    )
+    if sample is not None:
+        # the GlobalLimit lands everything in ONE partition -- spread it
+        # back out (hash on _i: membership-deterministic) and sort
+        # within partitions so batch composition, and therefore the
+        # float-sum order, is identical run to run
+        sampled = (
+            sampled.orderBy("_h", "_i")
+            .limit(sample)
+            .repartition(max(df.sparkSession.sparkContext.defaultParallelism, 1), "_i")
+            .sortWithinPartitions("_h", "_i")
+        )
+    sampled = sampled.persist()
+    try:
+        m = sampled.count()
+        if m < n_cells:
+            raise ValueError(
+                f"need >= n_cells={n_cells} sample vectors, got {m}"
+            )
+        # seeded init: the SAME RandomState draw as the driver recipe,
+        # over the same (h, i)-sorted ordering -- fetch just the chosen
+        # rows via row_number instead of collecting the whole sample
+        rng = np.random.RandomState(seed)
+        # draw order decides which centroid slot each vector fills
+        orig = [int(v) for v in rng.choice(m, size=n_cells, replace=False)]
+        w = Window.orderBy("_h", "_i")
+        init_rows = (
+            sampled.withColumn("_rn", F.row_number().over(w) - 1)
+            .filter(F.col("_rn").isin(orig))
+            .select("_rn", "_v")
+            .collect()
+        )
+        by_rn = {r["_rn"]: r["_v"] for r in init_rows}
+        C = np.asarray([by_rn[i] for i in orig], dtype=np.float64)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+        for _ in range(iters):
+            Cb = C.copy()
+
+            def partials(batches):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    V = _batch_matrix(pdf["_v"].values, Cb.shape[1])
+                    V = V / np.maximum(
+                        np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+                    )
+                    assign = np.argmax(V @ Cb.T, axis=1)
+                    bkey = str(pdf["_i"].iloc[0])
+                    cells, cnts, sums = [], [], []
+                    for c in np.unique(assign):
+                        members = V[assign == c]
+                        cells.append(int(c))
+                        cnts.append(len(members))
+                        sums.append(members.sum(axis=0).tolist())
+                    yield pd.DataFrame(
+                        {
+                            "cell": pd.array(cells, dtype="int32"),
+                            "cnt": pd.array(cnts, dtype="int64"),
+                            "vsum": sums,
+                            "bkey": bkey,
+                        }
+                    )
+
+            rows = sampled.mapInPandas(
+                partials,
+                schema="cell int, cnt long, vsum array<double>, bkey string",
+            ).collect()
+            rows.sort(key=lambda r: (r["cell"], r["bkey"]))
+            sums = np.zeros_like(C)
+            cnts = np.zeros(n_cells, dtype=np.int64)
+            for r in rows:
+                sums[r["cell"]] += np.asarray(r["vsum"], dtype=np.float64)
+                cnts[r["cell"]] += r["cnt"]
+            nz = cnts > 0
+            C[nz] = sums[nz] / cnts[nz, None]  # empty cell keeps centroid
+            C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        return C
+    finally:
+        sampled.unpersist()
+
+
 def ivf_assignments(
     df: DataFrame,
     dim: int,

@@ -565,3 +565,43 @@ def test_mixed_dimension_embeddings_fail_with_named_length():
     assert good.shape == (3, 2) and list(good[1]) == [0.0, 0.0]
     with pytest.raises(ValueError, match="expected dim=4.*batch row 1"):
         _batch_matrix([[1.0] * 4, [1.0] * 3], dim=4)
+
+
+def test_distributed_ivf_training_matches_driver_recipe(spark):
+    """VERDICT r4 #6: executor-side Lloyd (mapInPandas partial sums)
+    must reproduce the driver recipe's centroids at the default sample
+    (same membership, same seeded init; only float-sum order differs),
+    and the trained quantizer must slot into ivf_cosine_topk with
+    all-probe == exact."""
+    import numpy as np
+
+    from parse_html_spark.functions.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        ivf_train_centroids,
+        ivf_train_centroids_distributed,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(dim=64, n_cells=8, iters=10)
+    C_driver = ivf_train_centroids(df, **kw)
+    C_dist = ivf_train_centroids_distributed(df, **kw)
+    assert C_dist.shape == (8, 64)
+    assert np.allclose(C_dist, C_driver, atol=1e-8)
+    # determinism: a second distributed run is identical
+    assert np.array_equal(
+        C_dist, ivf_train_centroids_distributed(df, **kw)
+    )
+    # sample=None trains on the whole corpus without a driver collect
+    C_all = ivf_train_centroids_distributed(df, sample=None, **kw)
+    assert C_all.shape == (8, 64)
+    # the trained quantizer is a drop-in: all-probe == exact top-k
+    q = df.filter("vec_id = 7").first()["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_cosine_topk(
+            df, q, k=5, n_cells=8, n_probe=8, centroids=C_dist
+        ).collect()
+    ]
+    assert approx == exact
