@@ -4,11 +4,11 @@ with typed metadata.
 The Spark-side plumbing (schemas, Arrow batch shapes, partitioning,
 fan-out) is real and tested. The codec layer is REAL for every format
 decodable with stdlib + numpy -- PNG (zlib + unfiltering), PPM, 16-bit
-PCM WAV (functions/codecs.py), and baseline JPEG (sequential DCT,
-functions/jpeg.py) -- including real nearest-neighbor resizing and real
-pixel/sample statistics features. Progressive JPEG and MP4/video
-containers raise NotImplementedError at the documented plug point when
-fake=False (those genuinely need libjpeg/ffmpeg).
+PCM WAV (functions/codecs.py), and JPEG in both baseline sequential
+AND progressive DCT modes (functions/jpeg.py) -- including real
+nearest-neighbor resizing and real pixel/sample statistics features.
+MP4/video containers raise NotImplementedError at the documented plug
+point when fake=False (those genuinely need ffmpeg).
 
 fake=True keeps the deterministic crc32-derived stand-in for every
 format, so pipelines and tests run end-to-end on arbitrary payloads.
@@ -154,18 +154,19 @@ def extract_media_features(
     """mapInPandas over (media_ref, payload:binary) -> FEATURE_SCHEMA.
 
     fake=False computes REAL features for stdlib-decodable payloads:
-    per-channel mean/std + luminance histogram for PNG/PPM/baseline-JPEG
-    images, RMS/zero-crossing/duration/band-energy for 16-bit PCM WAV
-    audio (functions/codecs.py, functions/jpeg.py).
+    per-channel mean/std + luminance histogram for PNG/PPM/JPEG
+    (baseline AND progressive) images, RMS/zero-crossing/duration/
+    band-energy for 16-bit PCM WAV audio (functions/codecs.py,
+    functions/jpeg.py).
     fake=True emits deterministic crc32-seeded features for any bytes.
 
     on_error='raise' (default) propagates undecodable payloads
-    (progressive JPEG, video containers, malformed bytes) and fails the
-    task. on_error='flag' degrades GRACEFULLY for mixed real-crawl
+    (video containers, malformed bytes) and fails the task.
+    on_error='flag' degrades GRACEFULLY for mixed real-crawl
     corpora: undecodable rows get feature=NULL and the output gains a
     ``status`` column ('ok' or 'undecodable:<kind>:<reason>') -- a
-    groupBy(status) gives the corpus decode-failure census (e.g. the
-    progressive-JPEG fraction) without losing the partition."""
+    groupBy(status) gives the corpus decode-failure census without
+    losing the partition."""
     import numpy as np
     import pandas as pd
 

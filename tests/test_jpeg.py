@@ -96,12 +96,17 @@ def test_quality_tradeoff_monotone():
     assert errs[0] >= errs[1] >= errs[2]
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_unsupported_sof_and_garbage():
     img = _smooth_rgb(16, 16)
     data = bytearray(encode_jpeg(img))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    # SOF0 -> SOF2: routes to the progressive decoder, where the
+    # baseline Ss=0/Se=63 scan header is an invalid DC scan
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="DC scan"):
+        decode_jpeg(bytes(data))
+    data[sof + 1] = 0xC3  # lossless: genuinely unsupported
+    with pytest.raises(ValueError, match="baseline and progressive"):
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"NOPE")
@@ -225,7 +230,7 @@ def test_media_features_flag_mode_mixed_corpus(spark):
     assert rows["media://ok"]["status"] == "ok"
     assert len(rows["media://ok"]["feature"]) == 8
     assert rows["media://prog"]["status"].startswith("undecodable:jpeg:")
-    assert "baseline" in rows["media://prog"]["status"]
+    assert "DC scan" in rows["media://prog"]["status"]  # fake-SOF2 header
     assert rows["media://prog"]["feature"] is None
     assert rows["media://junk"]["status"].startswith("undecodable:")
     # default mode still raises on the same corpus
@@ -341,3 +346,166 @@ def test_overflowing_dht_code_counts_raise():
     # the valid boundary still builds: exactly 2^L codes at one length
     sym, ln = _build_decode_table([2] + [0] * 15, [7, 9])
     assert len(sym) == 65536 and len(ln) == 65536
+
+
+# -- progressive (SOF2) ------------------------------------------------------
+
+
+def test_progressive_roundtrip_parity():
+    """The progressive encoder shares the baseline's quantized
+    coefficients, so progressive decode must equal baseline decode
+    EXACTLY -- across gray/color, 4:2:0, odd dims, quality and restart
+    intervals (spectral selection + successive approximation both
+    in the default script)."""
+    from parse_html_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(42)
+    configs = [
+        (16, 16, False, 85, False, 0),
+        (24, 24, True, 85, False, 0),
+        (33, 17, False, 60, True, 0),
+        (40, 56, False, 30, True, 3),
+        (19, 21, True, 95, False, 2),
+        (64, 48, False, 85, False, 7),
+    ]
+    for h, w, gray, q, sub, dri in configs:
+        shape = (h, w) if gray else (h, w, 3)
+        noisy = rng.randint(0, 256, shape).astype(np.uint8)
+        smooth = (noisy.astype(float) * 0.2 + 100).astype(np.uint8)
+        for img in (noisy, smooth):
+            b = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+            p = decode_jpeg(
+                encode_jpeg_progressive(
+                    img, quality=q, subsample=sub, restart_interval=dri
+                )
+            )
+            assert np.array_equal(b, p), (h, w, gray, q, sub, dri)
+
+
+def test_progressive_scan_scripts():
+    """Aggressive scan scripts: deep successive approximation (3->0),
+    many narrow spectral bands, and non-interleaved per-component DC
+    scans -- all must reproduce the baseline decode exactly."""
+    from parse_html_spark.functions.jpeg import encode_jpeg_progressive
+
+    scripts = [
+        [([0, 1, 2], 0, 0, 0, 3), ([0], 1, 63, 0, 3), ([1], 1, 63, 0, 0),
+         ([2], 1, 63, 0, 0), ([0, 1, 2], 0, 0, 3, 2), ([0, 1, 2], 0, 0, 2, 1),
+         ([0, 1, 2], 0, 0, 1, 0), ([0], 1, 63, 3, 2), ([0], 1, 63, 2, 1),
+         ([0], 1, 63, 1, 0)],
+        [([0, 1, 2], 0, 0, 0, 0), ([0], 1, 2, 0, 0), ([0], 3, 8, 0, 0),
+         ([0], 9, 35, 0, 0), ([0], 36, 63, 0, 0), ([1], 1, 63, 0, 0),
+         ([2], 1, 63, 0, 0)],
+        [([0], 0, 0, 0, 1), ([1], 0, 0, 0, 1), ([2], 0, 0, 0, 1),
+         ([0], 1, 63, 0, 0), ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0),
+         ([0], 0, 0, 1, 0), ([1], 0, 0, 1, 0), ([2], 0, 0, 1, 0)],
+    ]
+    rng = np.random.RandomState(7)
+    for script in scripts:
+        for sub, dri in ((False, 0), (True, 5)):
+            img = (rng.randint(0, 256, (37, 29, 3)).astype(float) * 0.15
+                   + 110).astype(np.uint8)
+            b = decode_jpeg(encode_jpeg(img, quality=70, subsample=sub))
+            p = decode_jpeg(
+                encode_jpeg_progressive(
+                    img, quality=70, subsample=sub, scans=script,
+                    restart_interval=dri,
+                )
+            )
+            assert np.array_equal(b, p)
+
+
+def test_progressive_eobn_block_runs():
+    """A large flat image makes EOB runs thousands of blocks long --
+    the EOBn (run-length across blocks) decode path in both first and
+    refinement AC scans."""
+    from parse_html_spark.functions.jpeg import encode_jpeg_progressive
+
+    img = np.full((128, 128, 3), 77, dtype=np.uint8)
+    b = decode_jpeg(encode_jpeg(img, quality=85, subsample=True))
+    data = encode_jpeg_progressive(img, quality=85, subsample=True)
+    assert np.array_equal(b, decode_jpeg(data))
+
+
+def test_progressive_mutation_fuzz_error_contract():
+    """Corrupt progressive streams raise ValueError, never any other
+    exception type (the one-type contract shared with baseline)."""
+    import random
+
+    from parse_html_spark.functions.jpeg import encode_jpeg_progressive
+
+    base = encode_jpeg_progressive(
+        np.random.RandomState(1).randint(0, 256, (24, 24, 3)).astype(np.uint8),
+        quality=70,
+    )
+    rng = random.Random(99)
+    for _ in range(1500):
+        ba = bytearray(base)
+        op = rng.random()
+        if op < 0.4:
+            ba[rng.randrange(len(ba))] ^= 1 << rng.randrange(8)
+            data = bytes(ba)
+        elif op < 0.7:
+            data = bytes(ba[: rng.randrange(2, len(ba))])
+        else:
+            k = rng.randrange(len(ba))
+            ba[k:k] = bytes([rng.randrange(256)])
+            data = bytes(ba)
+        try:
+            decode_jpeg(data)
+        except ValueError:
+            pass  # the only allowed failure type
+
+
+def test_progressive_golden_fixture():
+    """Byte-level freeze of one progressive encoding plus its decoded
+    pixels: guards against the encoder and decoder co-evolving a
+    matching pair of spec deviations (round-trip tests alone cannot
+    see that)."""
+    import hashlib
+
+    from parse_html_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(3)
+    img = (rng.randint(0, 256, (21, 34, 3)).astype(float) * 0.3 + 90).astype(
+        np.uint8
+    )
+    data = encode_jpeg_progressive(img, quality=80, subsample=True,
+                                   restart_interval=4)
+    # structural checks a spec-conforming reader agrees on
+    assert data[:2] == b"\xff\xd8" and data.find(b"\xff\xc2") > 0
+    n_scans = data.count(b"\xff\xda")
+    assert n_scans == 10  # the default color script
+    px = decode_jpeg(data)
+    assert px.shape == (21, 34, 3)
+    assert hashlib.md5(data).hexdigest() == GOLDEN_PROG_BYTES
+    assert hashlib.md5(px.tobytes()).hexdigest() == GOLDEN_PROG_PIXELS
+
+
+GOLDEN_PROG_BYTES = "235d76498de740afa7b6e0fe94fb4d2f"
+GOLDEN_PROG_PIXELS = "abc58b772d2faea7071716a2c1474de2"
+
+
+def test_media_pipeline_decodes_progressive_jpeg(spark):
+    """extract_media_features(fake=False) now does REAL work on
+    progressive JPEG payloads -- the round-4 'biggest remaining
+    real-corpus gap' is closed: status 'ok', real pixel features,
+    identical to the baseline encoding of the same image."""
+    from parse_html_spark.functions.jpeg import encode_jpeg_progressive
+    from parse_html_spark.functions.media import extract_media_features
+
+    img = _smooth_rgb(32, 24)
+    df = spark.createDataFrame(
+        [
+            ("media://base", bytearray(encode_jpeg(img, quality=85))),
+            ("media://prog", bytearray(encode_jpeg_progressive(img, quality=85))),
+        ],
+        "media_ref string, payload binary",
+    )
+    rows = {
+        r["media_ref"]: r
+        for r in extract_media_features(df, fake=False, on_error="flag").collect()
+    }
+    assert rows["media://prog"]["status"] == "ok"
+    assert rows["media://prog"]["media_type"] == "image"
+    assert rows["media://prog"]["feature"] == rows["media://base"]["feature"]

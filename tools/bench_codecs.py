@@ -127,21 +127,28 @@ def main() -> None:
         "| variant | encode MB/s | decode MB/s |",
         "|---|---|---|",
     ]
+    from parse_html_spark.functions.jpeg import encode_jpeg_progressive
+
     variants = [
-        ("gray", img[:, :, 0], {}),
-        ("RGB 4:4:4", img, {}),
-        ("RGB 4:2:0", img, {"subsample": True}),
-        ("RGB 4:2:0 + DRI", img, {"subsample": True, "restart_interval": 8}),
+        ("gray", img[:, :, 0], encode_jpeg, {}),
+        ("RGB 4:4:4", img, encode_jpeg, {}),
+        ("RGB 4:2:0", img, encode_jpeg, {"subsample": True}),
+        ("RGB 4:2:0 + DRI", img, encode_jpeg,
+         {"subsample": True, "restart_interval": 8}),
+        ("progressive gray", img[:, :, 0], encode_jpeg_progressive, {}),
+        ("progressive RGB 4:4:4", img, encode_jpeg_progressive, {}),
+        ("progressive RGB 4:2:0", img, encode_jpeg_progressive,
+         {"subsample": True}),
     ]
-    for name, src, kw in variants:
+    for name, src, enc, kw in variants:
         mbv = src.nbytes / 1e6
-        data = encode_jpeg(src, quality=85, **kw)
+        data = enc(src, quality=85, **kw)
         out_img = decode_jpeg(data)
         assert out_img.shape == src.shape, (name, out_img.shape)
         enc_best = dec_best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            encode_jpeg(src, quality=85, **kw)
+            enc(src, quality=85, **kw)
             enc_best = min(enc_best, time.perf_counter() - t0)
             t0 = time.perf_counter()
             decode_jpeg(data)
@@ -160,9 +167,13 @@ def main() -> None:
         "symbol, reader state inlined as local ints) over pre-unstuffed",
         "restart segments; dequant/IDCT/plane assembly are one batched",
         "numpy pass per component (round 4: ~3x the bit-by-bit reader).",
-        "Single-digit MB/s remains the honest 'no external deps' envelope",
-        "-- bulk image corpora should use the documented external-decoder",
-        "plug point (media.py), same as progressive JPEG/video.",
+        "Progressive (SOF2) decode -- spectral-selection + successive-",
+        "approximation scans with DC/AC refinement and EOBn runs (round",
+        "5) -- revisits every band per scan, so its MB/s trails baseline",
+        "by the scan count; parity with baseline pixels is pinned in",
+        "test_jpeg. Single-digit MB/s remains the honest 'no external",
+        "deps' envelope -- bulk image corpora should use the documented",
+        "external-decoder plug point (media.py), same as video.",
         "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "CODECS.md")
