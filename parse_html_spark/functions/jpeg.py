@@ -586,6 +586,17 @@ def _colorize(out_planes: list, adobe_transform) -> np.ndarray:
 # imaging like the rest of this codec.
 
 
+def _seg_state(segs, seg_idx):
+    """Restart-segment bookkeeping shared by the progressive scan
+    decoders: (data, byte length, real bit length, is-final) for
+    segment ``seg_idx``, raising when a restart interval expects a
+    segment the stream does not have."""
+    if seg_idx >= len(segs):
+        raise ValueError("missing restart marker")
+    sdata = segs[seg_idx]
+    return sdata, len(sdata), 8 * len(sdata), seg_idx == len(segs) - 1
+
+
 def _decode_progressive(data: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple] = {}
@@ -789,22 +800,13 @@ def _scan_dc_first(segs, truncated, scan, coefs, units, huff, dri, al):
             raise ValueError(f"missing DC Huffman table {td}")
     luts = {ci: huff[(0, td)] for ci, td, _ta in scan}
     preds = {ci: 0 for ci, _td, _ta in scan}
-    n_segs = len(segs)
     seg_idx = 0
-    sdata = segs[0]
-    sn = len(sdata)
-    snreal = 8 * sn
-    sfinal = n_segs == 1
+    sdata, sn, snreal, sfinal = _seg_state(segs, 0)
     sbuf = snbits = spos = scons = 0
     for u, unit in enumerate(units):
         if dri and u and u % dri == 0:
             seg_idx += 1
-            if seg_idx >= n_segs:
-                raise ValueError("missing restart marker")
-            sdata = segs[seg_idx]
-            sn = len(sdata)
-            snreal = 8 * sn
-            sfinal = seg_idx == n_segs - 1
+            sdata, sn, snreal, sfinal = _seg_state(segs, seg_idx)
             sbuf = snbits = spos = scons = 0
             preds = {ci: 0 for ci in preds}
         for ci, bi in unit:
@@ -850,23 +852,14 @@ def _scan_dc_first(segs, truncated, scan, coefs, units, huff, dri, al):
 def _scan_dc_refine(segs, truncated, coefs, units, dri, al):
     """DC successive-approximation refinement: one raw bit per block
     (no Huffman), OR-ed into bit Al of the coefficient."""
-    n_segs = len(segs)
     seg_idx = 0
-    sdata = segs[0]
-    sn = len(sdata)
-    snreal = 8 * sn
-    sfinal = n_segs == 1
+    sdata, sn, snreal, sfinal = _seg_state(segs, 0)
     sbuf = snbits = spos = scons = 0
     p1 = 1 << al
     for u, unit in enumerate(units):
         if dri and u and u % dri == 0:
             seg_idx += 1
-            if seg_idx >= n_segs:
-                raise ValueError("missing restart marker")
-            sdata = segs[seg_idx]
-            sn = len(sdata)
-            snreal = 8 * sn
-            sfinal = seg_idx == n_segs - 1
+            sdata, sn, snreal, sfinal = _seg_state(segs, seg_idx)
             sbuf = snbits = spos = scons = 0
         for ci, bi in unit:
             if snbits < 1:
@@ -890,23 +883,14 @@ def _scan_ac_first(segs, truncated, blocks, lut, dri, ss, se, al):
     the Al-shifted magnitudes, plus EOBn codes whose run length spans
     whole blocks [T.81 G.1.2.2]."""
     ac_sym, ac_len = lut
-    n_segs = len(segs)
     seg_idx = 0
-    sdata = segs[0]
-    sn = len(sdata)
-    snreal = 8 * sn
-    sfinal = n_segs == 1
+    sdata, sn, snreal, sfinal = _seg_state(segs, 0)
     sbuf = snbits = spos = scons = 0
     eobrun = 0
     for u, zz in enumerate(blocks):
         if dri and u and u % dri == 0:
             seg_idx += 1
-            if seg_idx >= n_segs:
-                raise ValueError("missing restart marker")
-            sdata = segs[seg_idx]
-            sn = len(sdata)
-            snreal = 8 * sn
-            sfinal = seg_idx == n_segs - 1
+            sdata, sn, snreal, sfinal = _seg_state(segs, seg_idx)
             sbuf = snbits = spos = scons = 0
             eobrun = 0
         if eobrun:
@@ -987,12 +971,8 @@ def _scan_ac_refine(segs, truncated, blocks, lut, dri, ss, se, al):
     r counts only ZERO-history positions), and EOBn runs whose covered
     blocks still carry correction bits for their nonzero history."""
     ac_sym, ac_len = lut
-    n_segs = len(segs)
     seg_idx = 0
-    sdata = segs[0]
-    sn = len(sdata)
-    snreal = 8 * sn
-    sfinal = n_segs == 1
+    sdata, sn, snreal, sfinal = _seg_state(segs, 0)
     sbuf = snbits = spos = scons = 0
     eobrun = 0
     p1 = 1 << al
@@ -1000,12 +980,7 @@ def _scan_ac_refine(segs, truncated, blocks, lut, dri, ss, se, al):
     for u, zz in enumerate(blocks):
         if dri and u and u % dri == 0:
             seg_idx += 1
-            if seg_idx >= n_segs:
-                raise ValueError("missing restart marker")
-            sdata = segs[seg_idx]
-            sn = len(sdata)
-            snreal = 8 * sn
-            sfinal = seg_idx == n_segs - 1
+            sdata, sn, snreal, sfinal = _seg_state(segs, seg_idx)
             sbuf = snbits = spos = scons = 0
             eobrun = 0
         k = ss

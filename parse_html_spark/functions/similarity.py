@@ -277,14 +277,49 @@ def ivf_train_centroids_distributed(
         rng = np.random.RandomState(seed)
         # draw order decides which centroid slot each vector fills
         orig = [int(v) for v in rng.choice(m, size=n_cells, replace=False)]
-        w = Window.orderBy("_h", "_i")
-        init_rows = (
-            sampled.withColumn("_rn", F.row_number().over(w) - 1)
-            .filter(F.col("_rn").isin(orig))
-            .select("_rn", "_v")
-            .collect()
+        # fetch the drawn global-rank rows WITHOUT a global Window (an
+        # orderBy Window with no partitionBy funnels every vector
+        # through ONE task -- exactly the single-node bottleneck this
+        # function exists to avoid, fatal on the sample=None whole-
+        # corpus path): range-partition on the sort key (a distributed
+        # sort), then global rank = partition offset + within-partition
+        # row_number. The rank is invariant to where the range
+        # boundaries fall, so the sampling inside RangePartitioner
+        # cannot perturb determinism.
+        P = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+        ranked = (
+            sampled.repartitionByRange(P, "_h", "_i")
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
         )
-        by_rn = {r["_rn"]: r["_v"] for r in init_rows}
+        try:
+            counts = {
+                r["_pid"]: r["cnt"]
+                for r in ranked.groupBy("_pid")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            offs, acc = {}, 0
+            for pid in sorted(counts):
+                offs[pid] = acc
+                acc += counts[pid]
+            off_expr = F.element_at(
+                F.create_map(
+                    *[F.lit(x) for pid in sorted(offs) for x in (pid, offs[pid])]
+                ),
+                F.col("_pid"),
+            )
+            w = Window.partitionBy("_pid").orderBy("_h", "_i")
+            init_rows = (
+                ranked.withColumn("_rn", F.row_number().over(w) - 1)
+                .withColumn("_g", off_expr + F.col("_rn"))
+                .filter(F.col("_g").isin(orig))
+                .select("_g", "_v")
+                .collect()
+            )
+        finally:
+            ranked.unpersist()
+        by_rn = {r["_g"]: r["_v"] for r in init_rows}
         C = np.asarray([by_rn[i] for i in orig], dtype=np.float64)
         C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 

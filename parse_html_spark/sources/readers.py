@@ -76,12 +76,16 @@ def _gunzip_members(data: bytes) -> tuple[bytes, str | None]:
     return bytes(out), None
 
 
-def parse_warc_records(data: bytes):
+def parse_warc_records(data: bytes, status: dict | None = None):
     """Yield (headers: dict, body: bytes, offset: int) per WARC record.
 
     Pure-Python WARC/1.x splitter: records are 'WARC/1.' header blocks
     terminated by CRLFCRLF with an exact Content-Length body, separated
-    by CRLFCRLF. Tolerates trailing junk between records."""
+    by CRLFCRLF. Tolerates trailing junk between records. Pass a dict
+    as ``status`` to learn about corruption the record stream itself
+    cannot show: a 'WARC/1.' start whose header block never terminates
+    (archive cut mid-header) sets status['truncated_header'] to its
+    offset instead of being silently dropped."""
     pos = 0
     n = len(data)
     while True:
@@ -90,6 +94,8 @@ def parse_warc_records(data: bytes):
             return
         hdr_end = data.find(b"\r\n\r\n", start)
         if hdr_end < 0:
+            if status is not None:
+                status["truncated_header"] = start
             return
         headers: dict[str, str] = {}
         for line in data[start:hdr_end].split(b"\r\n")[1:]:
@@ -101,6 +107,11 @@ def parse_warc_records(data: bytes):
         try:
             length = int(headers.get("content-length", "0"))
         except ValueError:
+            length = 0
+        if length < 0:
+            # a negative Content-Length would move the parser BACKWARD
+            # (data[a:a-7] is empty but pos = a-7), re-parsing payload
+            # bytes as phantom records
             length = 0
         body_start = hdr_end + 4
         body = data[body_start : body_start + length]
@@ -191,7 +202,8 @@ def read_span_docs_warc(
                     data, arch_err = _gunzip_members(data)
                     if arch_err is not None and not flag:
                         raise ValueError(f"{fpath}: {arch_err}")
-                for headers, body, off in parse_warc_records(data):
+                split_status: dict = {}
+                for headers, body, off in parse_warc_records(data, split_status):
                     rtype = headers.get("warc-type", "")
                     if rtype not in wanted:
                         continue
@@ -201,6 +213,9 @@ def read_span_docs_warc(
                     try:
                         declared = int(raw_len)
                     except ValueError:
+                        declared = -1
+                    if declared < 0:
+                        # non-numeric OR negative: both are corrupt
                         declared = 0
                         status = f"bad_content_length:{raw_len}"
                     if len(body) < declared:
@@ -218,6 +233,16 @@ def read_span_docs_warc(
                         payload.decode("utf-8", errors="replace"),
                         status,
                     )
+                if arch_err is None and "truncated_header" in split_status:
+                    # archive cut mid-WARC-header: the partial record
+                    # vanishes from the record stream, so without this
+                    # the census would read 'clean corpus'
+                    arch_err = (
+                        "truncated WARC header at byte "
+                        f"{split_status['truncated_header']}"
+                    )
+                    if not flag:
+                        raise ValueError(f"{fpath}: {arch_err}")
                 if arch_err is not None:
                     # flag mode (raise already fired): one census row
                     # per damaged archive, zero spans so it never leaks

@@ -236,3 +236,53 @@ def test_warc_flag_mode_clean_archive_all_ok(spark, tmp_path):
     assert {r["status"] for r in flagged.collect()} == {"ok"}
     plain = sorted(repr(r) for r in read_span_docs_warc(spark, gz).collect())
     assert sorted(repr(r) for r in flagged.drop("status").collect()) == plain
+
+
+def test_negative_content_length_and_truncated_header(spark, tmp_path):
+    """Review r5: (1) a negative Content-Length must flag as
+    bad_content_length and must NOT move the parser backward into
+    phantom-record territory; (2) an archive cut mid-WARC-header must
+    surface in the census (the partial record vanishes from the record
+    stream, so only the splitter can report it)."""
+    from parse_html_spark.sources.readers import read_span_docs_warc
+
+    neg = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://ex.com/neg\r\n"
+        b"Content-Length: -7\r\n\r\n"
+        b"WARC/1.0 looks like a header start inside payload"
+    )
+    st = {}
+    recs = list(parse_warc_records(neg, st))
+    # parser moves FORWARD: the payload's fake start is scanned once,
+    # found header-terminator-less, and reported -- not looped over
+    assert len(recs) >= 1 and recs[0][1] == b""
+    assert "truncated_header" in st
+
+    d = tmp_path / "neg"
+    d.mkdir()
+    open(d / "neg.warc", "wb").write(neg)
+    rows = read_span_docs_warc(spark, str(d), on_error="flag").collect()
+    classes = {r["status"].split(":")[0] for r in rows}
+    assert "bad_content_length" in classes
+    assert "archive_error" in classes  # the mid-header truncation
+
+    # archive cut mid-header of the LAST record: previously invisible
+    d2 = tmp_path / "cut"
+    d2.mkdir()
+    write_warc(str(d2 / "c.warc"), PAGES)
+    raw = open(d2 / "c.warc", "rb").read()
+    second = raw.find(b"WARC/1.0", 5)
+    open(d2 / "c.warc", "wb").write(raw[: second + 20])  # inside header 2
+    flagged = read_span_docs_warc(spark, str(d2), on_error="flag").collect()
+    stats = {r["status"].split(":")[0] for r in flagged}
+    assert "archive_error" in stats  # census shows the data loss
+    ok_uris = {
+        r["doc_id"].split("#")[0] for r in flagged if r["status"] == "ok"
+    }
+    assert ok_uris == {"http://ex.com/a"}  # record 1 still parsed
+    # raise mode fails fast on the same archive
+    import pytest
+
+    with pytest.raises(Exception):
+        read_span_docs_warc(spark, str(d2)).collect()
