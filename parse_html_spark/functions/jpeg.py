@@ -384,7 +384,6 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
     segs, scan_truncated, _end = _entropy_segments(data, pos)
-    n_segs = len(segs)
     seg_idx = 0
     preds = [0] * len(scan_comps)
     mcu_count = 0
@@ -406,21 +405,13 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     ]
     blk_idx = [0] * len(scan_comps)
     luts = [(huff[(0, td)], huff[(1, ta)]) for _c, td, ta in scan_comps]
-    sdata = segs[0]
-    sn = len(sdata)
-    snreal = 8 * sn
-    sfinal = n_segs == 1
+    sdata, sn, snreal, sfinal = _seg_state(segs, 0)
     sbuf = snbits = spos = scons = 0
     for _my in range(mcuy):
         for _mx in range(mcux):
             if dri and mcu_count and mcu_count % dri == 0:
                 seg_idx += 1
-                if seg_idx >= n_segs:
-                    raise ValueError("missing restart marker")
-                sdata = segs[seg_idx]
-                sn = len(sdata)
-                snreal = 8 * sn
-                sfinal = seg_idx == n_segs - 1
+                sdata, sn, snreal, sfinal = _seg_state(segs, seg_idx)
                 sbuf = snbits = spos = scons = 0
                 preds = [0] * len(scan_comps)
             mcu_count += 1
@@ -587,8 +578,9 @@ def _colorize(out_planes: list, adobe_transform) -> np.ndarray:
 
 
 def _seg_state(segs, seg_idx):
-    """Restart-segment bookkeeping shared by the progressive scan
-    decoders: (data, byte length, real bit length, is-final) for
+    """Restart-segment bookkeeping shared by the baseline and
+    progressive scan decoders: (data, byte length, real bit length,
+    is-final) for
     segment ``seg_idx``, raising when a restart interval expects a
     segment the stream does not have."""
     if seg_idx >= len(segs):

@@ -91,6 +91,16 @@ def parse_warc_records(data: bytes, status: dict | None = None):
     while True:
         start = data.find(b"WARC/1.", pos)
         if start < 0:
+            # an archive cut INSIDE the magic itself (data ends with
+            # e.g. b'WAR') leaves no full 'WARC/1.' to find -- report a
+            # trailing proper prefix of the magic as suspected
+            # truncation too
+            if status is not None and pos < n:
+                tail = data[pos:]
+                for plen in range(min(6, len(tail)), 0, -1):
+                    if tail.endswith(b"WARC/1."[:plen]):
+                        status["truncated_header"] = n - plen
+                        break
             return
         hdr_end = data.find(b"\r\n\r\n", start)
         if hdr_end < 0:
@@ -150,11 +160,16 @@ def read_span_docs_warc(
     corpora: records parsed before the corruption point are still
     yielded, the schema gains a ``status`` column ('ok',
     'truncated_record:<declared>/<got>', 'bad_content_length:<raw>'),
-    and an archive whose decompression failed additionally yields ONE
-    zero-span census row (doc_id='<path>#ARCHIVE_ERROR',
-    status='archive_error:<reason>') so groupBy(status) — or
-    warc_decode_census() — shows the corruption mix instead of a dead
-    task. Filter status = 'ok' for the clean corpus.
+    and an archive-level problem -- failed decompression, or a WARC
+    magic whose header block never terminates (archive cut mid-header)
+    -- additionally yields ONE zero-span census row
+    (doc_id='<path>#ARCHIVE_ERROR', status='archive_error:<reason>')
+    so groupBy(status) -- or warc_decode_census() -- shows the
+    corruption mix instead of a dead task. Filter status = 'ok' for
+    the clean corpus. The unterminated-header case is reported in flag
+    mode ONLY: the same byte pattern can be tolerated trailing junk
+    that merely contains the magic, so raise mode keeps parsing
+    archives it has always parsed.
 
     record_types=("conversion",) reads Common Crawl WET archives (the
     pre-extracted plain-text sibling of the crawl) -- see
@@ -233,16 +248,20 @@ def read_span_docs_warc(
                         payload.decode("utf-8", errors="replace"),
                         status,
                     )
-                if arch_err is None and "truncated_header" in split_status:
+                if flag and arch_err is None and "truncated_header" in split_status:
                     # archive cut mid-WARC-header: the partial record
                     # vanishes from the record stream, so without this
-                    # the census would read 'clean corpus'
+                    # the census would read 'clean corpus'. FLAG MODE
+                    # ONLY: the same byte pattern can be trailing junk
+                    # that happens to contain the magic (which this
+                    # reader has always tolerated), so raise mode must
+                    # not start killing archives it used to parse --
+                    # the census names the suspicion, the operator
+                    # decides
                     arch_err = (
                         "truncated WARC header at byte "
                         f"{split_status['truncated_header']}"
                     )
-                    if not flag:
-                        raise ValueError(f"{fpath}: {arch_err}")
                 if arch_err is not None:
                     # flag mode (raise already fired): one census row
                     # per damaged archive, zero spans so it never leaks

@@ -281,8 +281,19 @@ def test_negative_content_length_and_truncated_header(spark, tmp_path):
         r["doc_id"].split("#")[0] for r in flagged if r["status"] == "ok"
     }
     assert ok_uris == {"http://ex.com/a"}  # record 1 still parsed
-    # raise mode fails fast on the same archive
-    import pytest
+    # raise mode stays TOLERANT here (review r5 pass 2): an
+    # unterminated-header start is indistinguishable from trailing
+    # junk containing the magic, which this reader has always parsed
+    # past -- so the default mode must not start killing such archives
+    assert read_span_docs_warc(spark, str(d2)).count() == 1
 
-    with pytest.raises(Exception):
-        read_span_docs_warc(spark, str(d2)).collect()
+    # archive cut INSIDE the magic itself (ends with b'WAR'): the
+    # prefix heuristic still surfaces it in the flag-mode census
+    d3 = tmp_path / "magic"
+    d3.mkdir()
+    write_warc(str(d3 / "m.warc"), PAGES)
+    raw3 = open(d3 / "m.warc", "rb").read()
+    second3 = raw3.find(b"WARC/1.0", 5)
+    open(d3 / "m.warc", "wb").write(raw3[: second3 + 3])  # ends b'WAR'
+    flagged3 = read_span_docs_warc(spark, str(d3), on_error="flag").collect()
+    assert {r["status"].split(":")[0] for r in flagged3} >= {"archive_error"}
