@@ -993,6 +993,123 @@ def _q_wet_source(spark, sf_dir):
     )
 
 
+def _q_warc_census(spark, sf_dir):
+    """Flag-mode WARC decode census UNDER THE ORACLE GATE (round-5
+    hardening promoted to a hash-checked row): documents are sharded
+    into 10 .warc.gz archives; archives with group % 3 == 1 get a
+    deliberately corrupt trailing gzip member (compression-method byte
+    0xFF -> archive_error census row, real records untouched), group
+    % 3 == 2 a valid trailing member holding a record with
+    'Content-Length: NaN' (-> one bad_content_length row with empty
+    body). warc_decode_census's (status, n_docs, total_chars) rollup is
+    then exactly SQL-predictable: 500 ok docs carrying every text byte,
+    3 archive errors, 3 bad-length records."""
+    import gzip
+    import os
+
+    import duckdb
+
+    from parse_html_spark.sources.readers import (
+        read_span_docs_warc,
+        warc_decode_census,
+        write_warc,
+    )
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    d = _scratch_dir("spark_graft_warccensus_")
+    groups: dict[int, list] = {g: [] for g in range(10)}
+    for i, t in rows:
+        groups[i % 10].append((f"http://d/{i}", t.encode("utf-8")))
+    bad_rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://bad/rec\r\n"
+        b"Content-Length: NaN\r\n\r\n"
+    )
+    for g, pages in groups.items():
+        path = os.path.join(d, f"part-{g}.warc.gz")
+        write_warc(path, pages, gzip_members=True)
+        if g % 3 == 1:
+            # gzip magic + invalid compression method: deterministic
+            # 'corrupt gzip member' after every real record decompressed
+            with open(path, "ab") as fh:
+                fh.write(b"\x1f\x8b\xff\xff\xff")
+        elif g % 3 == 2:
+            with open(path, "ab") as fh:
+                fh.write(gzip.compress(bad_rec))
+    docs = read_span_docs_warc(spark, d, on_error="flag")
+    return warc_decode_census(docs)
+
+
+def _q_media_census(spark, sf_dir):
+    """media_decode_census over REAL codec decodes UNDER THE ORACLE
+    GATE -- including the round-5 progressive JPEG path: each document
+    becomes one payload by doc_id % 5 (baseline JPEG / PROGRESSIVE
+    JPEG / PNG / WAV / junk bytes), pixels/samples derived from the
+    doc_id so every payload is distinct; extract_media_features
+    (fake=False, flag mode) must decode every well-formed payload
+    ('ok') and flag exactly the junk ('undecodable:unknown'), making
+    the census counts pure modular arithmetic in SQL. Byte totals are
+    codec-output-dependent, so the row checks (status_class,
+    n_payloads, n_image, n_audio)."""
+    import numpy as np
+    import pandas as pd
+
+    from parse_html_spark.functions.media import (
+        extract_media_features,
+        media_decode_census,
+    )
+    from parse_html_spark.session import ensure_py_files
+
+    ensure_py_files(spark)
+    docs = _documents(spark, sf_dir).select("doc_id")
+
+    def make(batches):
+        from parse_html_spark.functions.codecs import encode_png, encode_wav
+        from parse_html_spark.functions.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        for pdf in batches:
+            refs, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rng = np.random.RandomState(i)
+                img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+                kind = i % 5
+                if kind == 0:
+                    p = encode_jpeg(img, quality=80)
+                elif kind == 1:
+                    p = encode_jpeg_progressive(img, quality=80)
+                elif kind == 2:
+                    p = encode_png(img)
+                elif kind == 3:
+                    p = encode_wav(
+                        (rng.randn(256) * 3000).astype(np.int16), 8000
+                    )
+                else:
+                    p = b"JUNK:" + str(i).encode()
+                refs.append(f"media://{i}")
+                payloads.append(p)
+            yield pd.DataFrame({"media_ref": refs, "payload": payloads})
+
+    pdf = docs.mapInPandas(make, schema="media_ref string, payload binary")
+    feats = extract_media_features(pdf, fake=False, on_error="flag")
+    census = media_decode_census(feats).select("status_class", "n_payloads")
+    types = feats.groupBy(
+        F.concat_ws(":", F.slice(F.split(F.col("status"), ":"), 1, 2)).alias(
+            "status_class"
+        )
+    ).agg(
+        F.sum((F.col("media_type") == "image").cast("long")).alias("n_image"),
+        F.sum((F.col("media_type") == "audio").cast("long")).alias("n_audio"),
+    )
+    return census.join(types, "status_class").orderBy("status_class")
+
+
 def _q_jsonl_source(spark, sf_dir):
     """JSONL source reader under the oracle gate: interleaved span docs
     (text/media/text) written one JSON object per line, read back with
@@ -1165,6 +1282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mega_spans": _q_mega_spans,
         "warc_source": _q_warc_source,
         "wet_source": _q_wet_source,
+        "warc_census": _q_warc_census,
+        "media_census": _q_media_census,
         "jsonl_source": _q_jsonl_source,
         "node_counts": _q_node_counts,
         "node_descendants": _q_node_descendants,
@@ -1501,6 +1620,25 @@ def oracle_sql() -> dict[str, str]:
         "warc_source": (
             "SELECT 'http://d/' || doc_id AS uri, text, "
             "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+        ),
+        "media_census": (
+            "SELECT 'ok' AS status_class, "
+            "CAST(sum(CASE WHEN doc_id % 5 < 4 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_payloads, "
+            "CAST(sum(CASE WHEN doc_id % 5 < 3 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_image, "
+            "CAST(sum(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_audio FROM documents "
+            "UNION ALL SELECT 'undecodable:unknown', "
+            "CAST(sum(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM documents"
+        ),
+        "warc_census": (
+            "SELECT 'archive_error' AS status, CAST(3 AS BIGINT) AS n_docs, "
+            "CAST(0 AS BIGINT) AS total_chars "
+            "UNION ALL SELECT 'bad_content_length', 3, 0 "
+            "UNION ALL SELECT 'ok', CAST(count(*) AS BIGINT), "
+            "CAST(sum(length(text)) AS BIGINT) FROM documents"
         ),
         "wet_source": (
             "SELECT 'http://w/' || doc_id AS uri, "
