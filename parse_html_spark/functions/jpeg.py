@@ -9,7 +9,9 @@ Implemented from the public spec (ITU-T T.81 / JFIF 1.02):
   restart markers, grayscale + YCbCr with 4:4:4 / 4:2:2 / 4:2:0
   sampling (nearest/replicate chroma upsampling), JFIF YCbCr->RGB;
   progressive spectral-selection + successive-approximation scans
-  (Annex G.1.2) including DC/AC refinement passes and EOBn runs.
+  (Annex G.1.2) including DC/AC refinement passes and EOBn runs; the
+  legal non-interleaved multi-scan SEQUENTIAL layout (one SOS per
+  component, A.2.2) through the same multi-scan machinery.
 - encoder: the inverse pipeline with the Annex K example quantization
   and Huffman tables, libjpeg-style quality scaling, optional 4:2:0
   chroma subsampling (box mean); a progressive (SOF2) writer with
@@ -349,14 +351,11 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             ns = body[0]
             if comps and ns != len(comps):
-                # legal per T.81 (one scan per component) but this
-                # decoder only implements the interleaved single-scan
-                # layout -- decoding the first scan with interleaved
-                # MCU geometry would produce silently wrong pixels
-                raise ValueError(
-                    "non-interleaved (multi-scan) baseline JPEG not "
-                    f"supported (scan has {ns} of {len(comps)} components)"
-                )
+                # legal per T.81: one scan per component (or subsets).
+                # This fast inlined path only implements the interleaved
+                # single-scan layout -- the multi-scan/non-interleaved
+                # decoder shares the progressive machinery instead
+                return _decode_multiscan(data)
             scan_comps = []
             for c in range(ns):
                 cid, tda = body[1 + 2 * c : 3 + 2 * c]
@@ -589,8 +588,16 @@ def _seg_state(segs, seg_idx):
     return sdata, len(sdata), 8 * len(sdata), seg_idx == len(segs) - 1
 
 
+def _decode_multiscan(data: bytes) -> np.ndarray:
+    """Non-interleaved / multi-scan SEQUENTIAL baseline files share
+    this decoder: same marker loop and coefficient accumulation, with
+    full-band block scans instead of spectral/approximation passes."""
+    return _decode_progressive(data)
+
+
 def _decode_progressive(data: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
+    progressive = True
     huff: dict[tuple[int, int], tuple] = {}
     comps: list[list[int]] = []  # [cid, h, v, tq]
     width = height = None
@@ -600,6 +607,7 @@ def _decode_progressive(data: bytes) -> np.ndarray:
     geom: list[tuple[int, int, int, int, int, int]] = []
     mcux = mcuy = 0
     got_scan = False
+    seq_scanned: set[int] = set()
     pos = 2
     n = len(data)
     while pos < n:
@@ -643,7 +651,8 @@ def _decode_progressive(data: bytes) -> np.ndarray:
                 vals = list(body[o + 17 : o + 17 + cnt])
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 o += 17 + cnt
-        elif marker == 0xC2:  # SOF2
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (multi-scan) / SOF2
+            progressive = marker == 0xC2
             if body[0] != 8:
                 raise ValueError(f"unsupported precision {body[0]}")
             height, width = struct.unpack(">HH", body[1:5])
@@ -674,16 +683,16 @@ def _decode_progressive(data: bytes) -> np.ndarray:
                 bw_a, bh_a = -(-cw // 8), -(-ch // 8)
                 coefs.append([[0] * 64 for _ in range(bh_pad * bw_pad)])
                 geom.append((bw_pad, bh_pad, bw_a, bh_a, h, v))
-        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("mixed frame types in progressive JPEG")
+            raise ValueError("unsupported frame type in multi-scan JPEG")
         elif marker == 0xDD:
             (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
             adobe_transform = body[11]
         elif marker == 0xDA:
             if not comps:
-                raise ValueError("SOS before SOF2")
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
             for c in range(ns):
@@ -700,14 +709,24 @@ def _decode_progressive(data: bytes) -> np.ndarray:
             segs, truncated, endpos = _entropy_segments(data, pos + 2 + seglen)
             _decode_prog_scan(
                 segs, truncated, scan, coefs, geom, huff, dri, mcux, mcuy,
-                ss, se, ah, al,
+                ss, se, ah, al, progressive,
             )
+            if not progressive:
+                seq_scanned.update(i for i, _td, _ta in scan)
             got_scan = True
             pos = endpos
             continue
         pos = pos + 2 + seglen
     if width is None or not got_scan:
-        raise ValueError("progressive JPEG missing SOF2/SOS")
+        raise ValueError("multi-scan JPEG missing SOF/SOS")
+    if not progressive and len(seq_scanned) < len(comps):
+        # a sequential frame must scan every component once -- without
+        # this, a mis-labeled interleaved stream would silently decode
+        # one component's worth of garbage and leave the rest zero
+        raise ValueError(
+            "sequential multi-scan JPEG missing scans for "
+            f"{len(comps) - len(seq_scanned)} component(s)"
+        )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     out_planes = []
@@ -733,35 +752,52 @@ def _decode_progressive(data: bytes) -> np.ndarray:
     return _colorize(out_planes, adobe_transform)
 
 
+def _scan_units(scan, geom, mcux, mcuy):
+    """Iteration units for a DC or sequential scan: one MCU = the scan
+    components' blocks in (comp, v-row, h-col) order; ns==1 walks the
+    component's own block raster instead (T.81 non-interleaved
+    geometry)."""
+    units = []
+    if len(scan) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for ci, _td, _ta in scan:
+                    bw_pad, _bh_pad, _bwa, _bha, h, v = geom[ci]
+                    for iv in range(v):
+                        for ih in range(h):
+                            unit.append(
+                                (ci, (my * v + iv) * bw_pad + (mx * h + ih))
+                            )
+                units.append(unit)
+    else:
+        ci = scan[0][0]
+        bw_pad, _bh_pad, bw_a, bh_a, _h, _v = geom[ci]
+        for by in range(bh_a):
+            for bx in range(bw_a):
+                units.append([(ci, by * bw_pad + bx)])
+    return units
+
+
 def _decode_prog_scan(
-    segs, truncated, scan, coefs, geom, huff, dri, mcux, mcuy, ss, se, ah, al
+    segs, truncated, scan, coefs, geom, huff, dri, mcux, mcuy, ss, se, ah, al,
+    progressive=True,
 ):
-    """Decode one progressive scan's entropy data into ``coefs``."""
+    """Decode one scan's entropy data into ``coefs`` (progressive
+    spectral/approximation scans, or full-band scans of a multi-scan
+    SEQUENTIAL frame)."""
+    if not progressive:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError(
+                "sequential scan must cover the full 0..63 band"
+            )
+        units = _scan_units(scan, geom, mcux, mcuy)
+        _scan_full(segs, truncated, scan, coefs, units, huff, dri)
+        return
     if ss == 0:
         if se != 0:
             raise ValueError("DC scan must have Se=0")
-        # iteration units: one MCU = the scan components' blocks in
-        # (comp, v-row, h-col) order; ns==1 walks the component's own
-        # block raster instead (T.81 non-interleaved geometry)
-        units = []
-        if len(scan) > 1:
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    unit = []
-                    for ci, _td, _ta in scan:
-                        bw_pad, _bh_pad, _bwa, _bha, h, v = geom[ci]
-                        for iv in range(v):
-                            for ih in range(h):
-                                unit.append(
-                                    (ci, (my * v + iv) * bw_pad + (mx * h + ih))
-                                )
-                    units.append(unit)
-        else:
-            ci = scan[0][0]
-            bw_pad, _bh_pad, bw_a, bh_a, _h, _v = geom[ci]
-            for by in range(bh_a):
-                for bx in range(bw_a):
-                    units.append([(ci, by * bw_pad + bx)])
+        units = _scan_units(scan, geom, mcux, mcuy)
         if ah == 0:
             _scan_dc_first(segs, truncated, scan, coefs, units, huff, dri, al)
         else:
@@ -784,6 +820,114 @@ def _decode_prog_scan(
         _scan_ac_first(segs, truncated, blocks, huff[(1, ta)], dri, ss, se, al)
     else:
         _scan_ac_refine(segs, truncated, blocks, huff[(1, ta)], dri, ss, se, al)
+
+
+def _scan_full(segs, truncated, scan, coefs, units, huff, dri):
+    """One full-band scan of a multi-scan SEQUENTIAL frame: per block,
+    baseline DC diff + AC run-length coding (EOB/ZRL, no EOBn) -- the
+    classic T.81 F.2 block decode over progressive-style unit geometry
+    (interleaved component subsets or single-component rasters)."""
+    for ci, td, ta in scan:
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("missing Huffman table for sequential scan")
+    luts = {ci: (huff[(0, td)], huff[(1, ta)]) for ci, td, ta in scan}
+    preds = {ci: 0 for ci, _td, _ta in scan}
+    seg_idx = 0
+    sdata, sn, snreal, sfinal = _seg_state(segs, 0)
+    sbuf = snbits = spos = scons = 0
+    for u, unit in enumerate(units):
+        if dri and u and u % dri == 0:
+            seg_idx += 1
+            sdata, sn, snreal, sfinal = _seg_state(segs, seg_idx)
+            sbuf = snbits = spos = scons = 0
+            preds = {ci: 0 for ci in preds}
+        for ci, bi in unit:
+            (dc_sym, dc_len), (ac_sym, ac_len) = luts[ci]
+            zz = coefs[ci][bi]
+            if snbits < 16:
+                while snbits < 16:
+                    if spos < sn:
+                        sbuf = (sbuf << 8) | sdata[spos]
+                        spos += 1
+                    else:
+                        sbuf <<= 8
+                    snbits += 8
+                sbuf &= 0xFFFFFFFFFF
+            idx = (sbuf >> (snbits - 16)) & 0xFFFF
+            length = dc_len[idx]
+            if length == 0:
+                raise ValueError("invalid Huffman code")
+            t = dc_sym[idx]
+            snbits -= length
+            scons += length + t
+            if t:
+                if snbits < t:
+                    while snbits < t:
+                        if spos < sn:
+                            sbuf = (sbuf << 8) | sdata[spos]
+                            spos += 1
+                        else:
+                            sbuf <<= 8
+                        snbits += 8
+                    sbuf &= 0xFFFFFFFFFF
+                snbits -= t
+                diff = (sbuf >> snbits) & ((1 << t) - 1)
+                preds[ci] += (
+                    diff if diff >= (1 << (t - 1)) else diff - (1 << t) + 1
+                )
+            if scons > snreal:
+                _seg_overrun(sfinal, truncated)
+            zz[0] = preds[ci]
+            k = 1
+            while k < 64:
+                if snbits < 16:
+                    while snbits < 16:
+                        if spos < sn:
+                            sbuf = (sbuf << 8) | sdata[spos]
+                            spos += 1
+                        else:
+                            sbuf <<= 8
+                        snbits += 8
+                    sbuf &= 0xFFFFFFFFFF
+                idx = (sbuf >> (snbits - 16)) & 0xFFFF
+                length = ac_len[idx]
+                if length == 0:
+                    raise ValueError("invalid Huffman code")
+                rs = ac_sym[idx]
+                s = rs & 0xF
+                if s == 0:
+                    snbits -= length
+                    scons += length
+                    if scons > snreal:
+                        _seg_overrun(sfinal, truncated)
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                need = length + s
+                if snbits < need:
+                    while snbits < need:
+                        if spos < sn:
+                            sbuf = (sbuf << 8) | sdata[spos]
+                            spos += 1
+                        else:
+                            sbuf <<= 8
+                        snbits += 8
+                    sbuf &= 0xFFFFFFFFFF
+                snbits -= need
+                scons += need
+                if scons > snreal:
+                    _seg_overrun(sfinal, truncated)
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                v = (sbuf >> snbits) & ((1 << s) - 1)
+                zz[k] = (
+                    v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                )
+                k += 1
+    if scons > snreal:
+        _seg_overrun(sfinal, truncated)
 
 
 def _scan_dc_first(segs, truncated, scan, coefs, units, huff, dri, al):
@@ -1649,5 +1793,73 @@ def encode_jpeg_progressive(
         sos += bytes([ss, se, (ah << 4) | al])
         out += seg(0xDA, sos)
         out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_noninterleaved(
+    arr: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """(H, W, 3) uint8 -> SEQUENTIAL baseline JPEG with one SOS per
+    component (the legal non-interleaved multi-scan layout, T.81
+    A.2.2/B.2.3). Shares the baseline encoder's coefficients, so
+    decode parity with encode_jpeg is exact -- fixture writer for the
+    multi-scan decode path."""
+    gray, h, w, samp, qlum, qchr, mcux, mcuy, coefs = _prepare_coefs(
+        arr, quality, subsample
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    nf = 1 if gray else 3
+    enc_tabs = {
+        ci: (
+            _build_encode_table(*(_H_DC_LUM if ci == 0 else _H_DC_CHR)),
+            _build_encode_table(*(_H_AC_LUM if ci == 0 else _H_AC_CHR)),
+        )
+        for ci in range(nf)
+    }
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qlum.reshape(64)[_ZZ].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(qchr.reshape(64)[_ZZ].astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nf])
+    for ci in range(nf):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+
+    def dht(tc: int, th: int, tab) -> bytes:
+        bits, vals = tab
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _H_DC_LUM) + dht(1, 0, _H_AC_LUM)
+    if not gray:
+        out += dht(0, 1, _H_DC_CHR) + dht(1, 1, _H_AC_CHR)
+
+    for ci in range(nf):
+        sh, sv = samp[ci]
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        bw_a, bh_a = -(-cw // 8), -(-ch // 8)
+        rows = coefs[ci].tolist()
+        dc_t, ac_t = enc_tabs[ci]
+        ec = bytearray()
+        buf = nbits = 0
+        pred = 0
+        for by in range(bh_a):
+            for bx in range(bw_a):
+                buf, nbits, pred = _encode_block(
+                    ec, buf, nbits, rows[by][bx], pred, dc_t, ac_t
+                )
+        buf, nbits = _bw_flush(ec, buf, nbits)
+        td = 0 if ci == 0 else 1
+        sos = bytes([1, ci + 1, (td << 4) | td, 0, 63, 0])
+        out += seg(0xDA, sos)
+        out += ec
     out += b"\xff\xd9"
     return bytes(out)

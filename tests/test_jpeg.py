@@ -305,10 +305,12 @@ def test_fill_bytes_before_markers():
         assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))
 
 
-def test_non_interleaved_multiscan_rejected():
-    """A 3-component SOF with a 1-component first SOS (legal
-    non-interleaved layout) must raise, not silently decode the Y scan
-    with interleaved geometry."""
+def test_non_interleaved_multiscan_mangled_still_fails():
+    """A 3-component SOF whose interleaved entropy data is re-labeled
+    as a 1-component SOS is structurally a multi-scan file but carries
+    the WRONG entropy stream -- the multi-scan decoder must fail it
+    loudly (missing further scans / stream desync), never silently
+    decode the interleaved data with single-component geometry."""
     img = _smooth_rgb(16, 16)
     data = bytearray(encode_jpeg(img))
     sos = data.find(b"\xff\xda")
@@ -324,8 +326,31 @@ def test_non_interleaved_multiscan_rejected():
         + data[sos + 11 : sos + 14]
     )
     patched = bytes(data[:sos]) + seg + bytes(data[sos + 14 :])
-    with pytest.raises(ValueError, match="non-interleaved"):
+    with pytest.raises(ValueError):
         decode_jpeg(patched)
+
+
+def test_non_interleaved_multiscan_baseline_decodes():
+    """Round 5: the legal non-interleaved SEQUENTIAL layout (one SOS
+    per component, T.81 A.2.2) decodes through the shared multi-scan
+    machinery to EXACTLY the interleaved baseline pixels -- including
+    4:2:0, where each component's scan covers its OWN (non-padded)
+    block grid."""
+    from parse_html_spark.functions.jpeg import encode_jpeg_noninterleaved
+
+    rng = np.random.RandomState(5)
+    for h, w, sub, q in [
+        (16, 16, False, 85),
+        (33, 29, True, 70),
+        (40, 56, True, 30),
+        (24, 17, False, 95),
+    ]:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        b = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        p = decode_jpeg(
+            encode_jpeg_noninterleaved(img, quality=q, subsample=sub)
+        )
+        assert np.array_equal(b, p), (h, w, sub, q)
 
 
 def test_overflowing_dht_code_counts_raise():
