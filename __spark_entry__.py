@@ -1045,10 +1045,11 @@ def _q_warc_census(spark, sf_dir):
 
 def _q_media_census(spark, sf_dir):
     """media_decode_census over REAL codec decodes UNDER THE ORACLE
-    GATE -- including the round-5 progressive JPEG path: each document
-    becomes one payload by doc_id % 5 (baseline JPEG / PROGRESSIVE
-    JPEG / PNG / WAV / junk bytes), pixels/samples derived from the
-    doc_id so every payload is distinct; extract_media_features
+    GATE -- including the round-5 progressive and non-interleaved
+    multi-scan JPEG paths: each document becomes one payload by
+    doc_id % 6 (baseline JPEG / PROGRESSIVE JPEG / NON-INTERLEAVED
+    multi-scan JPEG / PNG / WAV / junk bytes), pixels/samples derived
+    from the doc_id so every payload is distinct; extract_media_features
     (fake=False, flag mode) must decode every well-formed payload
     ('ok') and flag exactly the junk ('undecodable:unknown'), making
     the census counts pure modular arithmetic in SQL. Byte totals are
@@ -1070,6 +1071,7 @@ def _q_media_census(spark, sf_dir):
         from parse_html_spark.functions.codecs import encode_png, encode_wav
         from parse_html_spark.functions.jpeg import (
             encode_jpeg,
+            encode_jpeg_noninterleaved,
             encode_jpeg_progressive,
         )
 
@@ -1079,14 +1081,16 @@ def _q_media_census(spark, sf_dir):
                 i = int(i)
                 rng = np.random.RandomState(i)
                 img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
-                kind = i % 5
+                kind = i % 6
                 if kind == 0:
                     p = encode_jpeg(img, quality=80)
                 elif kind == 1:
                     p = encode_jpeg_progressive(img, quality=80)
                 elif kind == 2:
-                    p = encode_png(img)
+                    p = encode_jpeg_noninterleaved(img, quality=80)
                 elif kind == 3:
+                    p = encode_png(img)
+                elif kind == 4:
                     p = encode_wav(
                         (rng.randn(256) * 3000).astype(np.int16), 8000
                     )
@@ -1623,14 +1627,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_census": (
             "SELECT 'ok' AS status_class, "
-            "CAST(sum(CASE WHEN doc_id % 5 < 4 THEN 1 ELSE 0 END) AS BIGINT) "
+            "CAST(sum(CASE WHEN doc_id % 6 < 5 THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_payloads, "
-            "CAST(sum(CASE WHEN doc_id % 5 < 3 THEN 1 ELSE 0 END) AS BIGINT) "
+            "CAST(sum(CASE WHEN doc_id % 6 < 4 THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_image, "
-            "CAST(sum(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) AS BIGINT) "
+            "CAST(sum(CASE WHEN doc_id % 6 = 4 THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_audio FROM documents "
             "UNION ALL SELECT 'undecodable:unknown', "
-            "CAST(sum(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(sum(CASE WHEN doc_id % 6 = 5 THEN 1 ELSE 0 END) AS BIGINT), "
             "CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM documents"
         ),
         "warc_census": (
