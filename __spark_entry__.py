@@ -1101,7 +1101,9 @@ def _q_media_census(spark, sf_dir):
             yield pd.DataFrame({"media_ref": refs, "payload": payloads})
 
     pdf = docs.mapInPandas(make, schema="media_ref string, payload binary")
-    feats = extract_media_features(pdf, fake=False, on_error="flag")
+    # persist: census and the type-count twin below both aggregate this
+    # frame -- uncached, every payload would be encoded+decoded twice
+    feats = extract_media_features(pdf, fake=False, on_error="flag").persist()
     census = media_decode_census(feats).select("status_class", "n_payloads")
     types = feats.groupBy(
         F.concat_ws(":", F.slice(F.split(F.col("status"), ":"), 1, 2)).alias(

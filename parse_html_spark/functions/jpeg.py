@@ -325,6 +325,8 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 o += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline DCT)
+            if comps:
+                raise ValueError("duplicate SOF marker")
             prec = body[0]
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
@@ -652,6 +654,11 @@ def _decode_progressive(data: bytes) -> np.ndarray:
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 o += 17 + cnt
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (multi-scan) / SOF2
+            if comps:
+                # T.81 allows ONE frame header; re-parsing a second SOF
+                # would silently wipe the accumulated coefficients and
+                # decode wrong pixels with no error
+                raise ValueError("duplicate SOF marker")
             progressive = marker == 0xC2
             if body[0] != 8:
                 raise ValueError(f"unsupported precision {body[0]}")
@@ -1798,13 +1805,21 @@ def encode_jpeg_progressive(
 
 
 def encode_jpeg_noninterleaved(
-    arr: np.ndarray, quality: int = 85, subsample: bool = False
+    arr: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    chroma_interleaved: bool = False,
 ) -> bytes:
     """(H, W, 3) uint8 -> SEQUENTIAL baseline JPEG with one SOS per
     component (the legal non-interleaved multi-scan layout, T.81
     A.2.2/B.2.3). Shares the baseline encoder's coefficients, so
     decode parity with encode_jpeg is exact -- fixture writer for the
-    multi-scan decode path."""
+    multi-scan decode path. restart_interval emits a DRI segment and
+    per-scan RSTn markers (numbering restarts at 0 each scan);
+    chroma_interleaved=True writes scans [Y], [Cb,Cr] -- a Y scan in
+    component raster order plus an interleaved two-component subset
+    scan in MCU order."""
     gray, h, w, samp, qlum, qchr, mcux, mcuy, coefs = _prepare_coefs(
         arr, quality, subsample
     )
@@ -1840,25 +1855,57 @@ def encode_jpeg_noninterleaved(
     out += dht(0, 0, _H_DC_LUM) + dht(1, 0, _H_AC_LUM)
     if not gray:
         out += dht(0, 1, _H_DC_CHR) + dht(1, 1, _H_AC_CHR)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
 
-    for ci in range(nf):
-        sh, sv = samp[ci]
-        cw = -(-w * sh // hmax)
-        ch = -(-h * sv // vmax)
-        bw_a, bh_a = -(-cw // 8), -(-ch // 8)
-        rows = coefs[ci].tolist()
-        dc_t, ac_t = enc_tabs[ci]
+    rows_l = [c.tolist() for c in coefs]
+    scans = [[ci] for ci in range(nf)]
+    if chroma_interleaved and nf == 3:
+        scans = [[0], [1, 2]]
+    for comp_ids in scans:
+        # iteration units mirror the decoder's _scan_units: per-comp
+        # actual-grid raster when ns==1, frame MCU order for subsets
+        units = []
+        if len(comp_ids) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for ci in comp_ids:
+                        sh, sv = samp[ci]
+                        for iv in range(sv):
+                            for ih in range(sh):
+                                unit.append((ci, my * sv + iv, mx * sh + ih))
+                    units.append(unit)
+        else:
+            ci = comp_ids[0]
+            sh, sv = samp[ci]
+            cw = -(-w * sh // hmax)
+            ch = -(-h * sv // vmax)
+            bw_a, bh_a = -(-cw // 8), -(-ch // 8)
+            units = [
+                [(ci, by, bx)] for by in range(bh_a) for bx in range(bw_a)
+            ]
         ec = bytearray()
         buf = nbits = 0
-        pred = 0
-        for by in range(bh_a):
-            for bx in range(bw_a):
-                buf, nbits, pred = _encode_block(
-                    ec, buf, nbits, rows[by][bx], pred, dc_t, ac_t
+        preds = {ci: 0 for ci in comp_ids}
+        n_rst = 0
+        for u, unit in enumerate(units):
+            if restart_interval and u and u % restart_interval == 0:
+                buf, nbits = _bw_flush(ec, buf, nbits)
+                ec += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                n_rst += 1
+                preds = {ci: 0 for ci in comp_ids}
+            for ci, by, bx in unit:
+                dc_t, ac_t = enc_tabs[ci]
+                buf, nbits, preds[ci] = _encode_block(
+                    ec, buf, nbits, rows_l[ci][by][bx], preds[ci], dc_t, ac_t
                 )
         buf, nbits = _bw_flush(ec, buf, nbits)
-        td = 0 if ci == 0 else 1
-        sos = bytes([1, ci + 1, (td << 4) | td, 0, 63, 0])
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            td = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | td])
+        sos += bytes([0, 63, 0])
         out += seg(0xDA, sos)
         out += ec
     out += b"\xff\xd9"

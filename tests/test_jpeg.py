@@ -339,18 +339,51 @@ def test_non_interleaved_multiscan_baseline_decodes():
     from parse_html_spark.functions.jpeg import encode_jpeg_noninterleaved
 
     rng = np.random.RandomState(5)
-    for h, w, sub, q in [
-        (16, 16, False, 85),
-        (33, 29, True, 70),
-        (40, 56, True, 30),
-        (24, 17, False, 95),
+    for h, w, sub, q, dri, chint in [
+        (16, 16, False, 85, 0, False),
+        (33, 29, True, 70, 3, False),   # restart intervals per scan
+        (40, 56, True, 30, 5, True),    # [Y], [Cb,Cr] subset scan + DRI
+        (24, 17, False, 95, 0, True),
     ]:
         img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
         b = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
         p = decode_jpeg(
-            encode_jpeg_noninterleaved(img, quality=q, subsample=sub)
+            encode_jpeg_noninterleaved(
+                img, quality=q, subsample=sub, restart_interval=dri,
+                chroma_interleaved=chint,
+            )
         )
-        assert np.array_equal(b, p), (h, w, sub, q)
+        assert np.array_equal(b, p), (h, w, sub, q, dri, chint)
+
+
+def test_duplicate_sof_rejected():
+    """Review r5 pass 3 (confirmed by experiment): a second SOF marker
+    silently wiped the accumulated coefficients and decoded WRONG
+    pixels with no error. T.81 allows one frame header -- duplicates
+    must raise, in the multi-scan decoder and the baseline one."""
+    import struct as _s
+
+    from parse_html_spark.functions.jpeg import encode_jpeg_noninterleaved
+
+    img = _smooth_rgb(16, 16)
+    for enc in (encode_jpeg, encode_jpeg_noninterleaved):
+        data = enc(img)
+        sof = data.find(b"\xff\xc0")
+        (slen,) = _s.unpack(">H", data[sof + 2 : sof + 4])
+        sofseg = data[sof : sof + 2 + slen]
+        sos = data.find(b"\xff\xda")
+        patched = data[:sos] + sofseg + data[sos:]
+        with pytest.raises(ValueError, match="duplicate SOF"):
+            decode_jpeg(patched)
+    # and BETWEEN the scans of a multi-scan file
+    data = encode_jpeg_noninterleaved(img)
+    sof = data.find(b"\xff\xc0")
+    (slen,) = _s.unpack(">H", data[sof + 2 : sof + 4])
+    sofseg = data[sof : sof + 2 + slen]
+    sos2 = data.find(b"\xff\xda", data.find(b"\xff\xda") + 2)
+    patched = data[:sos2] + sofseg + data[sos2:]
+    with pytest.raises(ValueError, match="duplicate SOF"):
+        decode_jpeg(patched)
 
 
 def test_overflowing_dht_code_counts_raise():
