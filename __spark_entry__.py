@@ -390,57 +390,39 @@ def _q_refcompat_child(spark, sf_dir):
     return both
 
 
-def _q_op_contains(spark, sf_dir):
-    # *= substring, case-INSENSITIVE (SURVEY 2.4)
+def _q_op_string(spark, sf_dir):
+    """All four string condition operators in ONE oracle row (round-6
+    consolidation: the driver's gate runs at most 50 queries, so the
+    four former rows op_contains/op_word/op_prefix/op_endswith are
+    unioned here under an `op` label -- each selector still runs the
+    full engine path and each sub-result is hash-checked):
+
+    - contains: *= substring, case-INSENSITIVE (SURVEY 2.4)
+    - word:     ~= whitespace-word membership, case-SENSITIVE
+    - prefix:   |= prefix (v or v-word), case-SENSITIVE
+    - endswith: $= suffix, case-INSENSITIVE; matches only langs
+      ending in 's'
+    """
     from parse_html_spark.pipeline import select_spans
 
-    out = select_spans(
-        _doc_spans(spark, sf_dir), "p[title*=MARI]", mode="attr", attr_name="title"
+    parts = (
+        ("contains", "p[title*=MARI]", "title"),
+        ("word", "[title~=Mari]", "title"),
+        ("prefix", "[data-kind|=top]", "data-kind"),
+        ("endswith", "p[title$=S]", "title"),
     )
-    return out.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.col("value").alias("title"),
-    )
-
-
-def _q_op_word(spark, sf_dir):
-    # ~= whitespace-word membership, case-SENSITIVE
-    from parse_html_spark.pipeline import select_spans
-
-    out = select_spans(
-        _doc_spans(spark, sf_dir), "[title~=Mari]", mode="attr", attr_name="title"
-    )
-    return out.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.col("value").alias("title"),
-    )
-
-
-def _q_op_prefix(spark, sf_dir):
-    # |= prefix (v or v-word), case-SENSITIVE
-    from parse_html_spark.pipeline import select_spans
-
-    out = select_spans(
-        _doc_spans(spark, sf_dir), "[data-kind|=top]", mode="attr",
-        attr_name="data-kind",
-    )
-    return out.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.col("value").alias("kind"),
-    )
-
-
-def _q_op_endswith(spark, sf_dir):
-    # $= suffix, case-INSENSITIVE; matches only langs ending in 's'
-    from parse_html_spark.pipeline import select_spans
-
-    out = select_spans(
-        _doc_spans(spark, sf_dir), "p[title$=S]", mode="attr", attr_name="title"
-    )
-    return out.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.col("value").alias("title"),
-    )
+    both = None
+    for label, sel, attr in parts:
+        out = select_spans(
+            _doc_spans(spark, sf_dir), sel, mode="attr", attr_name=attr
+        )
+        out = out.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.lit(label).alias("op"),
+            F.col("value"),
+        )
+        both = out if both is None else both.unionByName(out)
+    return both
 
 
 def _q_op_range(spark, sf_dir):
@@ -1257,10 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_form": _q_extract_form,
         "post_form": _q_post_form,
         "refcompat_child": _q_refcompat_child,
-        "op_contains": _q_op_contains,
-        "op_word": _q_op_word,
-        "op_prefix": _q_op_prefix,
-        "op_endswith": _q_op_endswith,
+        "op_string": _q_op_string,
         "op_range": _q_op_range,
         "children": _q_children,
         "value_only": _q_value_only,
@@ -1371,18 +1350,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, 'ref', 1, substr(text, 21) "
             "FROM documents"
         ),
-        "op_contains": (
-            "SELECT doc_id, 'Mari ' || lang AS title FROM documents"
-        ),
-        "op_word": (
-            "SELECT doc_id, 'Mari ' || lang AS title FROM documents"
-        ),
-        "op_prefix": (
-            "SELECT doc_id, 'top-' || source AS kind FROM documents"
-        ),
-        "op_endswith": (
-            "SELECT doc_id, 'Mari ' || lang AS title FROM documents "
-            "WHERE lang LIKE '%s'"
+        "op_string": (
+            "SELECT doc_id, 'contains' AS op, 'Mari ' || lang AS value "
+            "FROM documents "
+            "UNION ALL SELECT doc_id, 'word', 'Mari ' || lang "
+            "FROM documents "
+            "UNION ALL SELECT doc_id, 'prefix', 'top-' || source "
+            "FROM documents "
+            "UNION ALL SELECT doc_id, 'endswith', 'Mari ' || lang "
+            "FROM documents WHERE lang LIKE '%s'"
         ),
         "op_range": (
             "SELECT doc_id, n_chars AS n FROM documents "

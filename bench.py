@@ -31,6 +31,17 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def dispersion(samples: dict[str, list[float]]) -> dict[str, list[float]]:
+    """Per-query [min, median, max] over the interleaved passes."""
+    import statistics
+
+    return {
+        name: [min(s), round(statistics.median(s), 3), max(s)]
+        for name, s in samples.items()
+        if s
+    }
+
+
 def ensure_corpus() -> str:
     if not os.path.exists(CORPUS_PATH):
         from parse_html_spark.fixtures import write_corpus_parquet
@@ -54,9 +65,19 @@ def main() -> None:
     )
     from parse_html_spark.session import get_spark
 
+    # solo-run detection BEFORE Spark spins up: this host throttles
+    # clocks under concurrent load, and two rounds of judge/builder
+    # cycles were burned adjudicating "regressions" that were other
+    # processes. loadavg > ~2 at start means some other job is (or very
+    # recently was) running -- the walls in this JSON are then only
+    # comparable to each other, not to BASELINE.md.
+    load_start = os.getloadavg()[0]
+    solo = load_start < 2.0
+
     corpus_path = ensure_corpus()
     spark = get_spark(cpus=CPUS, app="parse_html_spark_bench")
     times: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     tasks: list[tuple[str, object]] = []
@@ -91,6 +112,7 @@ def main() -> None:
                     times[name] = -1.0
                     continue
                 times[name] = round(min(times.get(name, dt), dt), 3)
+                samples.setdefault(name, []).append(round(dt, 3))
                 log(f"pass {r + 1} {name}: {dt:.3f}s ({n} rows)")
 
     # size parquet scan splits so the Python map stage gets ~4 splits
@@ -115,6 +137,9 @@ def main() -> None:
             "value": times.get("extract_main", -1.0),
             "unit": "sec",
             "queries": times,
+            "dispersion": dispersion(samples),
+            "solo": solo,
+            "loadavg_start": round(load_start, 2),
             "sf": sf,
             "cpus": CPUS,
             "bench_docs": BENCH_DOCS,
@@ -196,6 +221,15 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        # self-adjudication (VERDICT r5 #3): `queries` stays best-of-N
+        # (the least-contended measurement), dispersion shows the
+        # per-query [min, median, max] across interleaved passes so a
+        # single throttled pass is visible as spread, not read as a
+        # regression; `solo` records whether the machine was quiet at
+        # start. max/min > ~1.5 on unchanged code = host noise band.
+        "dispersion": dispersion(samples),
+        "solo": solo,
+        "loadavg_start": round(load_start, 2),
         "sf": sf,
         "cpus": CPUS,
         "bench_docs": BENCH_DOCS,

@@ -610,6 +610,11 @@ def _decode_progressive(data: bytes) -> np.ndarray:
     mcux = mcuy = 0
     got_scan = False
     seq_scanned: set[int] = set()
+    # quant table per component, LATCHED at that component's first scan
+    # (libjpeg semantics, ADVICE r5): a DQT that legally redefines a
+    # table between scans must not retroactively change the dequant of
+    # coefficients already accumulated under the old table
+    comp_q: list[np.ndarray | None] = []
     pos = 2
     n = len(data)
     while pos < n:
@@ -690,6 +695,7 @@ def _decode_progressive(data: bytes) -> np.ndarray:
                 bw_a, bh_a = -(-cw // 8), -(-ch // 8)
                 coefs.append([[0] * 64 for _ in range(bh_pad * bw_pad)])
                 geom.append((bw_pad, bh_pad, bw_a, bh_a, h, v))
+                comp_q.append(None)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported frame type in multi-scan JPEG")
@@ -710,6 +716,14 @@ def _decode_progressive(data: bytes) -> np.ndarray:
                 if idx is None:
                     raise ValueError(f"scan references unknown component {cid}")
                 scan.append((idx, tda >> 4, tda & 0xF))
+            for idx, _td, _ta in scan:
+                if comp_q[idx] is None:
+                    tq_c = comps[idx][3]
+                    if tq_c not in qt:
+                        raise ValueError(
+                            f"missing quantization table {tq_c}"
+                        )
+                    comp_q[idx] = qt[tq_c]  # DQT stores fresh arrays
             ss = body[1 + 2 * ns]
             se = body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
@@ -738,9 +752,14 @@ def _decode_progressive(data: bytes) -> np.ndarray:
     vmax = max(c[2] for c in comps)
     out_planes = []
     for ci, (_cid, h, v, tq) in enumerate(comps):
-        if tq not in qt:
-            raise ValueError(f"missing quantization table {tq}")
-        q = qt[tq]
+        q = comp_q[ci]
+        if q is None:
+            # component never appeared in any scan (possible only in a
+            # progressive frame; sequential raises above): all-zero
+            # coefficients, so fall back to the end-state table
+            if tq not in qt:
+                raise ValueError(f"missing quantization table {tq}")
+            q = qt[tq]
         bw_pad, bh_pad, _bw_a, _bh_a, _h, _v = geom[ci]
         zz_arr = np.asarray(coefs[ci], dtype=np.int64)
         coef = np.zeros(zz_arr.shape, dtype=np.float64)

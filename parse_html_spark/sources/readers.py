@@ -85,7 +85,8 @@ def parse_warc_records(data: bytes, status: dict | None = None):
     as ``status`` to learn about corruption the record stream itself
     cannot show: a 'WARC/1.' start whose header block never terminates
     (archive cut mid-header) sets status['truncated_header'] to its
-    offset instead of being silently dropped."""
+    offset instead of being silently dropped; trailing bytes ending in
+    a proper prefix of the magic set status['suspected_truncation']."""
     pos = 0
     n = len(data)
     while True:
@@ -93,13 +94,16 @@ def parse_warc_records(data: bytes, status: dict | None = None):
         if start < 0:
             # an archive cut INSIDE the magic itself (data ends with
             # e.g. b'WAR') leaves no full 'WARC/1.' to find -- report a
-            # trailing proper prefix of the magic as suspected
-            # truncation too
+            # trailing proper prefix of the magic. This is only a
+            # SUSPICION (ADVICE r5): legitimate trailing junk can also
+            # end with 'W'/'WA'/..., so it goes under a separate key,
+            # and the census gives it its own status class so operators
+            # can separate it from confirmed corruption
             if status is not None and pos < n:
                 tail = data[pos:]
                 for plen in range(min(6, len(tail)), 0, -1):
                     if tail.endswith(b"WARC/1."[:plen]):
-                        status["truncated_header"] = n - plen
+                        status["suspected_truncation"] = n - plen
                         break
             return
         hdr_end = data.find(b"\r\n\r\n", start)
@@ -267,6 +271,19 @@ def read_span_docs_warc(
                     # per damaged archive, zero spans so it never leaks
                     # text into extraction
                     emit(f"{fpath}#ARCHIVE_ERROR", None, f"archive_error:{arch_err}")
+                elif flag and "suspected_truncation" in split_status:
+                    # trailing bytes that merely END with a 1-6 byte
+                    # proper prefix of 'WARC/1.' -- could be an archive
+                    # cut inside the magic OR legitimate trailing junk
+                    # (ADVICE r5: a confirmed-corruption label here was
+                    # a census false positive). Own status class so the
+                    # operator can separate suspicion from confirmation
+                    emit(
+                        f"{fpath}#SUSPECT",
+                        None,
+                        "suspected_truncation:trailing WARC-magic prefix "
+                        f"at byte {split_status['suspected_truncation']}",
+                    )
             if not ids:
                 # an archive with no matching records must yield NO
                 # batch: Arrow cannot type an empty object column as

@@ -386,6 +386,27 @@ def test_duplicate_sof_rejected():
         decode_jpeg(patched)
 
 
+def test_dqt_between_scans_uses_latched_table():
+    """ADVICE r5: a DQT that (legally) redefines a quant table between
+    scans must not retroactively change the dequant of components whose
+    scans already ran -- libjpeg latches tables at each component's
+    first scan. Splice a junk redefinition of table 0 (Y) between the
+    scans of a non-interleaved file: pixels must equal the unmodified
+    decode (pre-fix, Y was dequantized with the junk table)."""
+    import struct as _s
+
+    from parse_html_spark.functions.jpeg import encode_jpeg_noninterleaved
+
+    img = _smooth_rgb(16, 16)
+    data = encode_jpeg_noninterleaved(img, subsample=True)
+    baseline = decode_jpeg(data)
+    dqt = b"\xff\xdb" + _s.pack(">H", 67) + b"\x00" + b"\xff" * 64
+    sos2 = data.find(b"\xff\xda", data.find(b"\xff\xda") + 2)
+    assert sos2 > 0
+    patched = data[:sos2] + dqt + data[sos2:]
+    assert np.array_equal(decode_jpeg(patched), baseline)
+
+
 def test_overflowing_dht_code_counts_raise():
     """ADVICE r4: a corrupt DHT whose code counts overflow the code
     space must raise ValueError AT the corruption (list-slice assignment
