@@ -235,7 +235,15 @@ def test_warc_flag_mode_clean_archive_all_ok(spark, tmp_path):
     flagged = read_span_docs_warc(spark, gz, on_error="flag")
     assert {r["status"] for r in flagged.collect()} == {"ok"}
     plain = sorted(repr(r) for r in read_span_docs_warc(spark, gz).collect())
-    assert sorted(repr(r) for r in flagged.drop("status").collect()) == plain
+    assert (
+        sorted(
+            repr(r)
+            for r in flagged.drop(
+                "status", "charset", "content_encoding"
+            ).collect()
+        )
+        == plain
+    )
 
 
 def test_negative_content_length_and_truncated_header(spark, tmp_path):
@@ -301,3 +309,222 @@ def test_negative_content_length_and_truncated_header(spark, tmp_path):
     classes3 = {r["status"].split(":")[0] for r in flagged3}
     assert "suspected_truncation" in classes3
     assert "archive_error" not in classes3
+
+
+# ---------------------------------------------------------------------------
+# Round 6: HTTP message decoding in the response path (VERDICT r5 #1)
+# ---------------------------------------------------------------------------
+
+def test_http_decode_units():
+    """The three HTTP layers in isolation: chunked, content-encoding,
+    charset (BOM > declaration > utf-8-replace fallback)."""
+    from parse_html_spark.sources.readers import (
+        _dechunk,
+        _decode_charset,
+        _decode_http_response,
+        _decompress_http,
+    )
+    import gzip as _gzip
+    import zlib as _zlib
+
+    # chunked: sizes in hex, extensions tolerated, trailers ignored
+    body = b"4;ext=1\r\nWiki\r\n5\r\npedia\r\n0\r\nX-T: t\r\n\r\n"
+    assert _dechunk(body) == (b"Wikipedia", None)
+    # truncated mid-chunk degrades to the bytes so far
+    out, err = _dechunk(b"a\r\nhello")
+    assert out == b"hello" and "truncated chunk" in err
+    out, err = _dechunk(b"zz\r\nhello")
+    assert out == b"" and "bad chunk size" in err
+
+    payload = b"some latin-1 text: caf\xe9!"
+    assert _decompress_http(_gzip.compress(payload), "gzip") == (payload, None)
+    assert _decompress_http(_gzip.compress(payload), "x-GZIP") == (payload, None)
+    assert _decompress_http(_zlib.compress(payload), "deflate") == (payload, None)
+    # raw deflate (wild-web deviation, still labeled 'deflate')
+    raw = _zlib.compress(payload)[2:-4]
+    assert _decompress_http(raw, "deflate") == (payload, None)
+    out, err = _decompress_http(b"not compressed", "br")
+    assert out is None and "unsupported content-encoding" in err
+    out, err = _decompress_http(_gzip.compress(payload)[:10], "gzip")
+    assert "truncated" in err
+
+    # charset: declaration honored, BOM outranks it, unknown falls back
+    assert _decode_charset(payload, "latin-1")[0].endswith("café!")
+    import codecs
+    t, cs, err = _decode_charset(codecs.BOM_UTF16_LE + "héllo".encode("utf-16-le"), "latin-1")
+    assert (t, cs, err) == ("héllo", "utf-16", None)
+    t, cs, err = _decode_charset(b"plain", "x-no-such-charset")
+    assert t == "plain" and cs == "utf-8" and "unknown charset" in err
+
+    # full stack: gzip under chunked under an envelope with charset
+    from parse_html_spark.sources.readers import _http_wrap
+
+    msg = _http_wrap(
+        "résumé".encode("latin-1"),
+        charset="ISO-8859-1",
+        content_encoding="gzip",
+        chunked=True,
+        chunk_size=3,
+    )
+    text, cs, ce, err = _decode_http_response(msg)
+    assert (text, cs, ce, err) == ("résumé", "iso8859-1", "gzip", None)
+    # no envelope at all: bare payload, utf-8 fallback
+    text, cs, ce, err = _decode_http_response("naked ü".encode())
+    assert (text, ce, err) == ("naked ü", "identity", None)
+
+
+def test_warc_http_bodies_decoded(spark, tmp_path):
+    """gzip'd, deflated, chunked, and latin-1 response bodies come out
+    as proper text (not mojibake); undecodable bodies flag instead of
+    leaking compressed bytes as text; charset census shows the mix."""
+    from parse_html_spark.sources.readers import warc_charset_census
+
+    d = tmp_path / "http"
+    d.mkdir()
+    pages = [
+        ("http://e/plain", b"plain utf-8 body", {}),
+        ("http://e/gz", b"gzip body text", {"content_encoding": "gzip"}),
+        (
+            "http://e/defl",
+            b"deflate body",
+            {"content_encoding": "deflate-raw"},
+        ),
+        ("http://e/chunk", b"chunked body text", {"chunked": True, "chunk_size": 5}),
+        (
+            "http://e/both",
+            b"gzip then chunked",
+            {"content_encoding": "gzip", "chunked": True, "chunk_size": 4},
+        ),
+        (
+            "http://e/latin",
+            "caf\xe9 cr\xe8me".encode("latin-1"),
+            {"charset": "ISO-8859-1"},
+        ),
+        (
+            "http://e/badcs",
+            b"mystery label body",
+            {"charset": "x-martian"},
+        ),
+    ]
+    write_warc(str(d / "h.warc.gz"), pages, gzip_members=True)
+    rows = {
+        r["doc_id"].split("#")[0]: r
+        for r in read_span_docs_warc(spark, str(d), on_error="flag").collect()
+    }
+    texts = {k: v["spans"][0]["text"] for k, v in rows.items()}
+    assert texts == {
+        "http://e/plain": "plain utf-8 body",
+        "http://e/gz": "gzip body text",
+        "http://e/defl": "deflate body",
+        "http://e/chunk": "chunked body text",
+        "http://e/both": "gzip then chunked",
+        "http://e/latin": "caf\xe9 cr\xe8me",
+        "http://e/badcs": "mystery label body",
+    }
+    assert rows["http://e/latin"]["charset"] == "iso8859-1"
+    assert rows["http://e/gz"]["content_encoding"] == "gzip"
+    assert rows["http://e/badcs"]["status"].startswith("unknown_charset:")
+    assert all(
+        r["status"] == "ok"
+        for k, r in rows.items()
+        if k != "http://e/badcs"
+    )
+    # raise mode: clean decodes pass, unknown charset stays tolerant
+    assert read_span_docs_warc(spark, str(d)).count() == 7
+
+    # undecodable bodies: corrupt gzip + unsupported br -- hand-built
+    # messages (write_warc validates its own opts)
+    d2 = tmp_path / "bad"
+    d2.mkdir()
+    from parse_html_spark.sources.readers import _http_wrap
+
+    raw_pages = [
+        ("http://e/ok", _http_wrap(b"fine")),
+        (
+            "http://e/br",
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n\x0b\x02\x80x",
+        ),
+        (
+            "http://e/corrupt",
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip",
+        ),
+    ]
+    out = bytearray()
+    for uri, body in raw_pages:
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        )
+        out += hdr + body + b"\r\n\r\n"
+    open(d2 / "b.warc", "wb").write(bytes(out))
+    flagged = {
+        r["doc_id"].split("#")[0]: r
+        for r in read_span_docs_warc(spark, str(d2), on_error="flag").collect()
+    }
+    assert flagged["http://e/ok"]["status"] == "ok"
+    assert flagged["http://e/br"]["status"].startswith("http_decode_error:")
+    assert flagged["http://e/br"]["spans"] == []  # no mojibake text
+    assert flagged["http://e/corrupt"]["status"].startswith("http_decode_error:")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)content-encoding"):
+        read_span_docs_warc(spark, str(d2)).count()
+
+    census = {
+        (r["charset"], r["content_encoding"], r["status_class"]): r["n_docs"]
+        for r in warc_charset_census(
+            read_span_docs_warc(spark, str(d), on_error="flag")
+        ).collect()
+    }
+    assert census[("iso8859-1", "identity", "ok")] == 1
+    assert census[("utf-8", "gzip", "ok")] == 2
+    assert census[("utf-8", "identity", "ok")] == 2  # plain + chunked
+    assert census[("utf-8", "deflate", "ok")] == 1
+    assert census[("utf-8", "identity", "unknown_charset")] == 1
+
+
+def test_http_decode_never_raises_fuzz():
+    """Mutation fuzz over the HTTP layer (VERDICT r5 #1 'done'
+    criterion): byte flips, truncations, and junk splices over
+    chunked/gzip/deflate/charset messages must always come back as a
+    (text|None, charset, encoding, err|None) tuple -- decode errors
+    are data, never exceptions (an exception here would kill a task
+    per bad record at crawl scale)."""
+    import random
+
+    from parse_html_spark.sources.readers import (
+        _decode_http_response,
+        _http_wrap,
+    )
+
+    rng = random.Random(99)
+    bases = [
+        _http_wrap(b"plain body text " * 4),
+        _http_wrap(b"gzip body " * 8, content_encoding="gzip"),
+        _http_wrap(b"deflate body " * 8, content_encoding="deflate"),
+        _http_wrap(b"raw deflate " * 8, content_encoding="deflate-raw"),
+        _http_wrap(b"chunked " * 10, chunked=True, chunk_size=7),
+        _http_wrap(
+            b"both layers " * 10,
+            content_encoding="gzip",
+            chunked=True,
+            chunk_size=5,
+        ),
+        _http_wrap("caf\xe9 " .encode("latin-1") * 10, charset="ISO-8859-1"),
+    ]
+    for _ in range(2500):
+        blob = bytearray(bases[rng.randrange(len(bases))])
+        mode = rng.random()
+        if mode < 0.4:
+            blob[rng.randrange(len(blob))] ^= 1 << rng.randrange(8)
+        elif mode < 0.7:
+            blob = blob[: rng.randrange(len(blob) + 1)]
+        else:
+            at = rng.randrange(len(blob) + 1)
+            junk = bytes(rng.randrange(256) for _ in range(rng.randrange(9)))
+            blob = blob[:at] + junk + blob[at:]
+        text, charset, enc, err = _decode_http_response(bytes(blob))
+        assert text is None or isinstance(text, str)
+        assert isinstance(charset, str) and isinstance(enc, str)
+        assert err is None or isinstance(err, str)
