@@ -1097,13 +1097,14 @@ def _q_charset_census(spark, sf_dir):
 def _q_media_census(spark, sf_dir):
     """media_decode_census over REAL codec decodes UNDER THE ORACLE
     GATE -- including the round-5 progressive and non-interleaved
-    multi-scan JPEG paths: each document becomes one payload by
-    doc_id % 6 (baseline JPEG / PROGRESSIVE JPEG / NON-INTERLEAVED
-    multi-scan JPEG / PNG / WAV / junk bytes), pixels/samples derived
-    from the doc_id so every payload is distinct; extract_media_features
-    (fake=False, flag mode) must decode every well-formed payload
-    ('ok') and flag exactly the junk ('undecodable:unknown'), making
-    the census counts pure modular arithmetic in SQL. Byte totals are
+    multi-scan JPEG paths and the round-6 GIF decoder: each document
+    becomes one payload by doc_id % 7 (baseline JPEG / PROGRESSIVE
+    JPEG / NON-INTERLEAVED multi-scan JPEG / PNG / WAV / GIF /
+    junk bytes), pixels/samples derived from the doc_id so every
+    payload is distinct; extract_media_features (fake=False, flag
+    mode) must decode every well-formed payload ('ok') and flag
+    exactly the junk ('undecodable:unknown'), making the census
+    counts pure modular arithmetic in SQL. Byte totals are
     codec-output-dependent, so the row checks (status_class,
     n_payloads, n_image, n_audio)."""
     import numpy as np
@@ -1120,6 +1121,7 @@ def _q_media_census(spark, sf_dir):
 
     def make(batches):
         from parse_html_spark.functions.codecs import encode_png, encode_wav
+        from parse_html_spark.functions.gif import encode_gif
         from parse_html_spark.functions.jpeg import (
             encode_jpeg,
             encode_jpeg_noninterleaved,
@@ -1132,7 +1134,7 @@ def _q_media_census(spark, sf_dir):
                 i = int(i)
                 rng = np.random.RandomState(i)
                 img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
-                kind = i % 6
+                kind = i % 7
                 if kind == 0:
                     p = encode_jpeg(img, quality=80)
                 elif kind == 1:
@@ -1144,6 +1146,13 @@ def _q_media_census(spark, sf_dir):
                 elif kind == 4:
                     p = encode_wav(
                         (rng.randn(256) * 3000).astype(np.int16), 8000
+                    )
+                elif kind == 5:
+                    # <=256 distinct colors (palette format)
+                    pal = rng.randint(0, 256, (32, 3)).astype(np.uint8)
+                    p = encode_gif(
+                        pal[rng.randint(0, 32, (16, 16))],
+                        interlace=bool(i % 2),
                     )
                 else:
                     p = b"JUNK:" + str(i).encode()
@@ -1695,14 +1704,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_census": (
             "SELECT 'ok' AS status_class, "
-            "CAST(sum(CASE WHEN doc_id % 6 < 5 THEN 1 ELSE 0 END) AS BIGINT) "
+            "CAST(sum(CASE WHEN doc_id % 7 < 6 THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_payloads, "
-            "CAST(sum(CASE WHEN doc_id % 6 < 4 THEN 1 ELSE 0 END) AS BIGINT) "
-            "AS n_image, "
-            "CAST(sum(CASE WHEN doc_id % 6 = 4 THEN 1 ELSE 0 END) AS BIGINT) "
+            "CAST(sum(CASE WHEN doc_id % 7 IN (0,1,2,3,5) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_image, "
+            "CAST(sum(CASE WHEN doc_id % 7 = 4 THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_audio FROM documents "
             "UNION ALL SELECT 'undecodable:unknown', "
-            "CAST(sum(CASE WHEN doc_id % 6 = 5 THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(sum(CASE WHEN doc_id % 7 = 6 THEN 1 ELSE 0 END) AS BIGINT), "
             "CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM documents"
         ),
         "warc_census": (

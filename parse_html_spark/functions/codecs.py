@@ -30,7 +30,11 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> channels
 
 
 def sniff(data: bytes) -> str:
-    """'png' | 'ppm' | 'wav' | 'jpeg' | 'unknown' from magic bytes."""
+    """'png' | 'ppm' | 'wav' | 'jpeg' | 'gif' | 'webp' | 'avif' |
+    'unknown' from magic bytes. webp/avif are recognized distinctly
+    (VERDICT r5 #8) so the media census separates 'known format that
+    needs an external decoder' from plain junk, even though their
+    decode stays at the documented plug point."""
     if data[:8] == PNG_SIG:
         return "png"
     if data[:2] == b"P6":
@@ -39,6 +43,13 @@ def sniff(data: bytes) -> str:
         return "wav"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    # ISO BMFF: size(4) + 'ftyp' + major brand
+    if data[4:8] == b"ftyp" and data[8:12] in (b"avif", b"avis"):
+        return "avif"
     return "unknown"
 
 

@@ -4,11 +4,13 @@ with typed metadata.
 The Spark-side plumbing (schemas, Arrow batch shapes, partitioning,
 fan-out) is real and tested. The codec layer is REAL for every format
 decodable with stdlib + numpy -- PNG (zlib + unfiltering), PPM, 16-bit
-PCM WAV (functions/codecs.py), and JPEG in both baseline sequential
-AND progressive DCT modes (functions/jpeg.py) -- including real
+PCM WAV (functions/codecs.py), JPEG in baseline sequential AND
+progressive DCT modes (functions/jpeg.py), and GIF87a/89a incl. LZW,
+interlace and transparency (functions/gif.py) -- including real
 nearest-neighbor resizing and real pixel/sample statistics features.
-MP4/video containers raise NotImplementedError at the documented plug
-point when fake=False (those genuinely need ffmpeg).
+WebP/AVIF (sniffed distinctly) and MP4/video raise NotImplementedError
+at the documented plug point when fake=False (those genuinely need
+libwebp/libavif/ffmpeg).
 
 fake=True keeps the deterministic crc32-derived stand-in for every
 format, so pipelines and tests run end-to-end on arbitrary payloads.
@@ -65,10 +67,14 @@ def _decode_image(data: bytes):
         from .jpeg import decode_jpeg
 
         return decode_jpeg(data)  # baseline sequential DCT (pure numpy)
+    if kind == "gif":
+        from .gif import decode_gif
+
+        return decode_gif(data)  # GIF87a/89a, first frame (pure numpy)
     raise NotImplementedError(
         f"decoding {kind!r} requires an external library (PIL/ffmpeg); "
-        "PNG/PPM/baseline-JPEG decode here is real (functions/codecs.py, "
-        "functions/jpeg.py)"
+        "PNG/PPM/JPEG/GIF decode here is real (functions/codecs.py, "
+        "functions/jpeg.py, functions/gif.py)"
     )
 
 
@@ -191,7 +197,7 @@ def extract_media_features(
                 else:
                     kind = codecs.sniff(data)
                     try:
-                        if kind in ("png", "ppm", "jpeg"):
+                        if kind in ("png", "ppm", "jpeg", "gif"):
                             mtype = "image"
                             feat = codecs.image_features(_decode_image(data), dim)
                         elif kind == "wav":
@@ -200,9 +206,12 @@ def extract_media_features(
                                 *codecs.decode_wav(data), dim=dim
                             )
                         else:
+                            # webp/avif sniff distinctly, so their
+                            # census bucket names the format needing
+                            # the external decoder, not 'unknown'
                             raise NotImplementedError(
                                 f"decoding {kind!r} requires PIL/ffmpeg; "
-                                "PNG/PPM/baseline-JPEG/WAV features here are real"
+                                "PNG/PPM/JPEG/GIF/WAV features here are real"
                             )
                     except _DECODE_ERRORS as exc:
                         if not flag:

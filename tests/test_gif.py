@@ -1,0 +1,216 @@
+"""GIF codec: LZW round-trips, interlace, transparency, sub-rect
+composition, frame counting, and the ValueError corruption contract
+(VERDICT r5 #4)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from parse_html_spark.functions.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    _subblocks,
+    decode_gif,
+    encode_gif,
+    gif_frame_count,
+)
+
+
+def _rgb(rng, h, w, ncolors):
+    idx = rng.randint(0, ncolors, (h, w))
+    pal = rng.randint(0, 256, (ncolors, 3))
+    return pal[idx].astype(np.uint8)
+
+
+def test_lzw_roundtrip_widths():
+    """Code width growth to 12 bits, KwKwK strings, deferred clear, and
+    the canonical late width transition all survive a round-trip."""
+    rng = np.random.RandomState(1)
+    for mcs, n in [(2, 50), (2, 5000), (8, 70000), (4, 30000)]:
+        data = rng.randint(0, 1 << mcs, n).tolist()
+        enc = _lzw_encode(data, mcs)
+        assert _lzw_decode(enc, mcs, n) == data
+    # repetitive input (KwKwK-heavy)
+    data = [1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 1, 1, 1, 1] * 40
+    assert _lzw_decode(_lzw_encode(data, 2), 2, len(data)) == data
+
+
+def test_gif_roundtrips_exact():
+    rng = np.random.RandomState(7)
+    cases = [
+        _rgb(rng, 16, 16, 4),
+        _rgb(rng, 33, 21, 256),  # full palette, odd dims
+        np.full((9, 5, 3), 200, np.uint8),  # flat, palette of 1
+        np.tile(np.arange(256, dtype=np.uint8), (17, 1))[..., None].repeat(
+            3, axis=2
+        ),  # gradient
+    ]
+    for img in cases:
+        for interlace in (False, True):
+            for local in (False, True):
+                got = decode_gif(
+                    encode_gif(img, interlace=interlace, local_palette=local)
+                )
+                assert np.array_equal(got, img), (
+                    img.shape,
+                    interlace,
+                    local,
+                )
+    # big image exercising table-full deferred clears
+    big = _rgb(rng, 120, 200, 250)
+    assert np.array_equal(decode_gif(encode_gif(big)), big)
+
+
+def test_gif_versions_and_comment():
+    img = _rgb(np.random.RandomState(3), 8, 8, 3)
+    for ver in ("87a", "89a"):
+        b = encode_gif(img, version=ver, comment=b"fixture comment " * 20)
+        assert b[:6] == b"GIF" + ver.encode()
+        assert np.array_equal(decode_gif(b), img)
+
+
+def test_gif_transparency_composes_background():
+    """GCE transparency: transparent-index pixels show the logical
+    screen's background color instead of their palette color."""
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[0, 0] = (255, 0, 0)
+    img[2, 2] = (0, 255, 0)
+    b = encode_gif(img, transparent_color=(255, 0, 0))
+    out = decode_gif(b)
+    # background index is 0 -> first palette color (sorted unique =
+    # black here), so the transparent red pixel must come back black
+    assert tuple(out[0, 0]) == (0, 0, 0)
+    assert tuple(out[2, 2]) == (0, 255, 0)
+    # without the GCE the red pixel survives
+    assert tuple(decode_gif(encode_gif(img))[0, 0]) == (255, 0, 0)
+
+
+def test_gif_subrect_frame_composes_onto_screen():
+    """A first frame smaller than the logical screen lands at its
+    (left, top) offset with background fill elsewhere (hand-built
+    stream: encoder always writes full-screen frames)."""
+    # screen 6x4, bg palette index 1 (blue); 2x2 red frame at (3, 1)
+    pal = bytes([255, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0])  # 4 entries
+    head = b"GIF89a" + struct.pack("<HHBBB", 6, 4, 0x81, 1, 0) + pal
+    idx = [0, 0, 0, 0]  # all red
+    img = (
+        b"\x2c"
+        + struct.pack("<HHHHB", 3, 1, 2, 2, 0)
+        + bytes([2])
+        + _subblocks(_lzw_encode(idx, 2))
+    )
+    out = decode_gif(head + img + b"\x3b")
+    assert out.shape == (4, 6, 3)
+    assert tuple(out[0, 0]) == (0, 0, 255)  # background
+    assert tuple(out[1, 3]) == (255, 0, 0)
+    assert tuple(out[2, 4]) == (255, 0, 0)
+    assert tuple(out[3, 5]) == (0, 0, 255)
+
+
+def test_gif_animation_first_frame_and_count():
+    rng = np.random.RandomState(11)
+    img = _rgb(rng, 10, 12, 8)
+    extra = [(img[:4, :4], 1, 1), (img[:2, :6], 0, 3)]
+    b = encode_gif(img, extra_frames=extra)
+    assert gif_frame_count(b) == 3
+    assert np.array_equal(decode_gif(b), img)  # poster frame only
+    assert gif_frame_count(encode_gif(img)) == 1
+
+
+def test_gif_valueerror_contract_fuzz():
+    """Any byte flip / truncation / junk splice raises ValueError (or
+    decodes) -- never IndexError/struct.error/KeyError: flag-mode
+    census matches one exception type (same contract as jpeg/png)."""
+    import random
+
+    rng_np = np.random.RandomState(5)
+    base = encode_gif(_rgb(rng_np, 14, 17, 30), interlace=True)
+    rng = random.Random(12)
+    errors = 0
+    for _ in range(2500):
+        b = bytearray(base)
+        mode = rng.random()
+        if mode < 0.45:
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        elif mode < 0.8:
+            b = b[: rng.randrange(len(b) + 1)]
+        else:
+            at = rng.randrange(len(b) + 1)
+            b = b[:at] + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(7))
+            ) + b[at:]
+        try:
+            decode_gif(bytes(b))
+        except ValueError:
+            errors += 1
+        # any other exception type fails the test by raising
+    assert errors > 500  # most mutations must actually be caught
+
+
+def test_gif_rejects_garbage_shapes():
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF")
+    with pytest.raises(ValueError, match="image data"):
+        # header + trailer, no image block
+        decode_gif(b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0, 0, 0) + b"\x3b")
+    with pytest.raises(ValueError, match="color table"):
+        # image block, no GCT and no LCT
+        decode_gif(
+            b"GIF89a"
+            + struct.pack("<HHBBB", 2, 2, 0, 0, 0)
+            + b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+            + bytes([2])
+            + _subblocks(_lzw_encode([0, 0, 0, 0], 2))
+            + b"\x3b"
+        )
+    img = _rgb(np.random.RandomState(2), 4, 4, 4)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(np.random.RandomState(3).randint(0, 256, (40, 40, 3)).astype(np.uint8))
+    # frame past the screen edge
+    b = bytearray(encode_gif(img))
+    at = b.index(b"\x2c")
+    struct.pack_into("<HH", b, at + 1, 3, 3)  # left=top=3 on a 4x4 screen
+    with pytest.raises(ValueError, match="past the logical screen"):
+        decode_gif(bytes(b))
+
+
+def test_gif_media_integration(spark):
+    """GIF flows through sniff -> _decode_image -> features/resize;
+    webp/avif sniff distinctly and census under their format name."""
+    import pandas as pd
+
+    from parse_html_spark.functions import codecs
+    from parse_html_spark.functions.media import (
+        extract_media_features,
+        resize_images,
+    )
+
+    img = _rgb(np.random.RandomState(9), 12, 12, 16)
+    gif = encode_gif(img)
+    assert codecs.sniff(gif) == "gif"
+    assert codecs.sniff(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "webp"
+    assert codecs.sniff(b"\x00\x00\x00\x1cftypavif....") == "avif"
+    pdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": ["m://gif", "m://webp", "m://junk"],
+                "payload": [gif, b"RIFF\x00\x00\x00\x00WEBPVP8 ", b"zz"],
+            }
+        )
+    )
+    rows = {
+        r["media_ref"]: r
+        for r in extract_media_features(
+            pdf, fake=False, on_error="flag"
+        ).collect()
+    }
+    assert rows["m://gif"]["status"] == "ok"
+    assert rows["m://gif"]["media_type"] == "image"
+    assert rows["m://webp"]["status"].startswith("undecodable:webp:")
+    assert rows["m://junk"]["status"].startswith("undecodable:unknown:")
+    out = resize_images(
+        pdf.filter(pdf.media_ref == "m://gif"), 6, 6, fake=False
+    ).collect()
+    assert codecs.decode_png(bytes(out[0]["payload"])).shape == (6, 6, 3)

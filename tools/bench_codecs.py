@@ -176,6 +176,53 @@ def main() -> None:
         "external-decoder plug point (media.py), same as video.",
         "",
     ]
+    # -- GIF (pure-Python LZW codec, round 6) -----------------------------
+    from parse_html_spark.functions.gif import decode_gif, encode_gif
+
+    lines += [
+        "# GIF codec throughput (functions/gif.py)",
+        "",
+        f"{side}x{side} palette images; best of {reps} reps, single "
+        "thread. MB/s measured on raw pixel bytes (3 bytes/px).",
+        "",
+        "| variant | encode MB/s | decode MB/s |",
+        "|---|---|---|",
+    ]
+    pal16 = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    pal256 = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    smooth = pal16[((yy + xx) // 32) % 16]
+    noisy = pal256[rng.randint(0, 256, (side, side))]
+    gif_variants = [
+        ("16-color smooth", smooth, {}),
+        ("16-color smooth interlaced", smooth, {"interlace": True}),
+        ("256-color noise", noisy, {}),
+    ]
+    for name, src, kw in gif_variants:
+        mbv = src.nbytes / 1e6
+        data = encode_gif(src, **kw)
+        assert np.array_equal(decode_gif(data), src), name
+        enc_best = dec_best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            encode_gif(src, **kw)
+            enc_best = min(enc_best, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            decode_gif(data)
+            dec_best = min(dec_best, time.perf_counter() - t0)
+        lines.append(f"| {name} | {mbv / enc_best:.1f} | {mbv / dec_best:.1f} |")
+        print(
+            f"gif {name}: enc {mbv / enc_best:.1f} MB/s, "
+            f"dec {mbv / dec_best:.1f} MB/s",
+            file=sys.stderr,
+        )
+    lines += [
+        "",
+        "LZW is a per-code Python loop by nature (each code's table",
+        "entry feeds the next); palette lookup, deinterlace, and frame",
+        "composition are single numpy passes. Same envelope note as",
+        "JPEG: real for features-at-ingest, external plug for bulk.",
+        "",
+    ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "CODECS.md")
     with open(out, "w") as fh:
         fh.write("\n".join(lines))
