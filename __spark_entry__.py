@@ -390,6 +390,47 @@ def _q_refcompat_child(spark, sf_dir):
     return both
 
 
+def _q_refcompat_quoted(spark, sf_dir):
+    """Ref-compat mode A.12 UNDER THE ORACLE GATE (VERDICT r5 #5),
+    mirroring refcompat_child: each document is wrapped so the quoted
+    selector `p[data-v="x"]` diverges predictably. The reference CODE
+    appends the closing quote to the bracket value
+    [ParseHTML.php:1110-1112] (its docblock golden disagrees;
+    default mode follows the docblock), so ref-compat parses the value
+    as `x"` -- matching ONLY the second element, whose attribute
+    literally holds `x"` (single-quoted in markup); CSS-correct mode
+    parses `x` and matches ONLY the first. Both modes' outputs are
+    hash-checked in one row."""
+    from parse_html_spark.pipeline import select_spans
+
+    docs = _documents(spark, sf_dir)
+    left = F.substring("text", 1, 20)
+    right = F.expr("substring(text, 21)")
+    html = F.concat(
+        F.lit('<div><p data-v="x">'),
+        left,
+        F.lit("</p><p data-v='x\"'>"),
+        right,
+        F.lit("</p></div>"),
+    )
+    df = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            _span(F.lit("text"), html, F.lit(None).cast("string"), F.lit(0))
+        ).alias("spans"),
+    )
+    both = None
+    for label, rc in (("css", False), ("ref", True)):
+        out = select_spans(df, 'p[data-v="x"]', mode="text", ref_compat=rc)
+        out = out.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.lit(label).alias("mode"),
+            F.col("value"),
+        )
+        both = out if both is None else both.unionByName(out)
+    return both
+
+
 def _q_op_string(spark, sf_dir):
     """All four string condition operators in ONE oracle row (round-6
     consolidation: the driver's gate runs at most 50 queries, so the
@@ -1317,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_form": _q_extract_form,
         "post_form": _q_post_form,
         "refcompat_child": _q_refcompat_child,
+        "refcompat_quoted": _q_refcompat_quoted,
         "op_string": _q_op_string,
         "op_range": _q_op_range,
         "children": _q_children,
@@ -1427,6 +1469,12 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, 'ref', 0, substr(text, 1, 20) "
             "FROM documents "
             "UNION ALL SELECT doc_id, 'ref', 1, substr(text, 21) "
+            "FROM documents"
+        ),
+        "refcompat_quoted": (
+            "SELECT doc_id, 'css' AS mode, substr(text, 1, 20) AS value "
+            "FROM documents "
+            "UNION ALL SELECT doc_id, 'ref', substr(text, 21) "
             "FROM documents"
         ),
         "op_string": (

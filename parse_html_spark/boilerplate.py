@@ -31,15 +31,11 @@ Pinned algorithm (deterministic):
 from __future__ import annotations
 
 import bisect
+from itertools import accumulate
 
 import numpy as np
 
-from .tokenizer import DocIndex, trim_html
-
-BOILER_TAGS = frozenset(
-    "nav footer aside header script style form iframe noscript".split()
-)
-MEDIA_TAGS = ("img", "embed")
+from .tokenizer import BOILER_TAGS, MEDIA_TAGS, DocIndex, trim_html
 
 DESCEND_FRACTION = 0.7
 LINK_DENSITY_MAX = 0.65
@@ -89,56 +85,69 @@ class TextMass:
 
     def __init__(self, doc: DocIndex):
         self.doc = doc
+        # the tokenizer keeps list + numpy twins from birth (round 6
+        # profiling: the tolist()/cumsum/concatenate round-trips here
+        # were ~1/3 of per-doc extraction wall on the bench mix)
         self.ts = doc.tstart
         self.te = doc.tend
-        self.cum = np.concatenate(([0], np.cumsum(self.te - self.ts)))
-        # list twins for the scalar bisect paths
-        self.ts_l = doc.tstart.tolist()
-        self.te_l = doc.tend.tolist()
-        self.cum_l = self.cum.tolist()
+        ts_l = self.ts_l = doc.tstart_l
+        te_l = self.te_l = doc.tend_l
+        cum_l = self.cum_l = list(
+            accumulate((e - s for s, e in zip(ts_l, te_l)), initial=0)
+        )
+        self.cum = np.asarray(cum_l, dtype=np.int64)
 
         # top-level <a> nodes: in doc order, an <a> is top-level iff it
         # starts at/after the end of the previous top-level <a> (nested
-        # anchors are contained intervals)
-        tag_arr = doc.tag_arr
-        a_ids = np.flatnonzero(tag_arr == "a")
+        # anchors are contained intervals); anchor ids come straight
+        # from the tokenizer pass
+        start_l = doc.start_l
+        end_l = doc.end_l
         top: list[int] = []
         cur_end = -1
-        for i in a_ids:
-            s = int(doc.start[i])
-            if s >= cur_end:
-                top.append(int(i))
-                cur_end = int(doc.end[i])
+        for i in doc.a_ids:
+            if start_l[i] >= cur_end:
+                top.append(i)
+                cur_end = end_l[i]
         self.top_anchors = top
+        ats_l: list[int] = []
+        ate_l: list[int] = []
         if top:
-            t_arr = np.asarray(top, dtype=np.int64)
-            self.anchor_starts = doc.start[t_arr]
-            # anchor text regions = text regions clipped to anchor contents
-            alo = doc.cstart[t_arr]
-            ahi = doc.cend[t_arr]
-            astarts: list[np.ndarray] = []
-            aends: list[np.ndarray] = []
-            a_idx = np.searchsorted(self.te, alo, side="right")
-            b_idx = np.searchsorted(self.ts, ahi, side="left")
-            for k in range(len(t_arr)):
-                a_k, b_k = int(a_idx[k]), int(b_idx[k])
-                if a_k >= b_k:
-                    continue
-                s_clip = np.maximum(self.ts[a_k:b_k], alo[k])
-                e_clip = np.minimum(self.te[a_k:b_k], ahi[k])
-                keep = e_clip > s_clip
-                astarts.append(s_clip[keep])
-                aends.append(e_clip[keep])
-            self.ats = np.concatenate(astarts) if astarts else _EMPTY
-            self.ate = np.concatenate(aends) if aends else _EMPTY
+            self.anchor_starts = np.asarray(
+                [start_l[i] for i in top], dtype=np.int64
+            )
+            # anchor text regions = text regions clipped to anchor
+            # contents (anchors per doc are few: scalar bisect beats
+            # numpy dispatch here, same reasoning as _mass_one)
+            cstart_l = doc.cstart_l
+            cend_l = doc.cend_l
+            for i in top:
+                alo = cstart_l[i]
+                ahi = cend_l[i]
+                a_k = bisect.bisect_right(te_l, alo)
+                b_k = bisect.bisect_left(ts_l, ahi)
+                for k in range(a_k, b_k):
+                    s_c = ts_l[k]
+                    e_c = te_l[k]
+                    if s_c < alo:
+                        s_c = alo
+                    if e_c > ahi:
+                        e_c = ahi
+                    if e_c > s_c:
+                        ats_l.append(s_c)
+                        ate_l.append(e_c)
+            self.ats = np.asarray(ats_l, dtype=np.int64)
+            self.ate = np.asarray(ate_l, dtype=np.int64)
         else:
             self.anchor_starts = _EMPTY
             self.ats = _EMPTY
             self.ate = _EMPTY
-        self.acum = np.concatenate(([0], np.cumsum(self.ate - self.ats)))
-        self.ats_l = self.ats.tolist()
-        self.ate_l = self.ate.tolist()
-        self.acum_l = self.acum.tolist()
+        acum_l = self.acum_l = list(
+            accumulate((e - s for s, e in zip(ats_l, ate_l)), initial=0)
+        )
+        self.acum = np.asarray(acum_l, dtype=np.int64)
+        self.ats_l = ats_l
+        self.ate_l = ate_l
 
     # vectorized forms ------------------------------------------------------
 
@@ -177,7 +186,7 @@ def find_main_container(doc: DocIndex, tm: TextMass) -> tuple[int, int]:
     m_cur = tm.nonanchor(lo, hi)  # computed once; children reuse m[j]
     ts_l, te_l, cum_l = tm.ts_l, tm.te_l, tm.cum_l
     ats_l, ate_l, acum_l = tm.ats_l, tm.ate_l, tm.acum_l
-    cstart, cend = doc.cstart, doc.cend
+    cstart, cend = doc.cstart_l, doc.cend_l
     while True:
         if m_cur <= 0:
             return lo, hi
@@ -188,8 +197,8 @@ def find_main_container(doc: DocIndex, tm: TextMass) -> tuple[int, int]:
         best = -1
         best_m = -1
         for k in kids:
-            klo = int(cstart[k])
-            khi = int(cend[k])
+            klo = cstart[k]
+            khi = cend[k]
             mk = _mass_one(ts_l, te_l, cum_l, klo, khi) - _mass_one(
                 ats_l, ate_l, acum_l, klo, khi
             )
@@ -199,7 +208,7 @@ def find_main_container(doc: DocIndex, tm: TextMass) -> tuple[int, int]:
         if best < 0 or best_m < DESCEND_FRACTION * m_cur:
             return lo, hi
         cur_node = best
-        lo, hi = int(cstart[best]), int(cend[best])
+        lo, hi = cstart[best], cend[best]
         m_cur = best_m
 
 
@@ -208,36 +217,31 @@ def pruned_ranges(
 ) -> list[tuple[int, int]]:
     """Outer byte ranges of boilerplate subtrees inside [lo, hi) (rule 3),
     computed with one vectorized scoring pass over candidate nodes."""
-    ids = doc.nodes_in_range(lo, hi)
-    if len(ids) == 0:
+    a0 = int(np.searchsorted(doc.start, lo, side="left"))
+    b0 = int(np.searchsorted(doc.start, hi, side="left"))
+    if a0 >= b0:
         return []
-    tag_list = doc.tag
-    a0 = int(ids[0])
-    boiler = np.fromiter(
-        (tag_list[j] in BOILER_TAGS for j in range(a0, a0 + len(ids))),
-        dtype=bool,
-        count=len(ids),
-    )
-    cs = doc.cstart[ids]
-    ce = doc.cend[ids]
+    # boilerplate-tag mask comes pre-classified from the tokenizer pass;
+    # contiguous array slices are views (no fancy-index copies)
+    boiler = np.asarray(doc.boiler_l[a0:b0], dtype=bool)
+    cs = doc.cstart[a0:b0]
+    ce = doc.cend[a0:b0]
     tl = tm.text_len_many(cs, ce)
     al = tm.anchor_len_many(cs, ce)
     na = tm.anchors_in_many(cs, ce)
     dense = (na >= MIN_ANCHORS) & (tl > 0) & (al > LINK_DENSITY_MAX * tl)
     cand = np.flatnonzero(boiler | dense)
+    start_l, end_l = doc.start_l, doc.end_l
     out: list[tuple[int, int]] = []
     last_end = -1
     for k in cand:
-        j = int(ids[k])
-        s, e = int(doc.start[j]), int(doc.end[j])
+        j = a0 + int(k)
+        s, e = start_l[j], end_l[j]
         if s < last_end:
             continue  # nested inside an already-pruned subtree
         out.append((s, e))
         last_end = e
     return out
-
-
-_BOILER_ARR = np.asarray(sorted(BOILER_TAGS), dtype=object)
 
 
 def main_content_spans(
@@ -287,15 +291,21 @@ def main_content_spans(
             if t:
                 events.append((pos, 1, "text", t, None))
     # media nodes (img/embed) inside the container, unpruned; priority 0:
-    # an input media span at a text boundary precedes the following text
-    ids = doc.nodes_in_range(lo, hi)
-    if len(ids):
-        tag_list = doc.tag
-        for j in range(int(ids[0]), int(ids[0]) + len(ids)):
-            if tag_list[j] in MEDIA_TAGS and not in_pruned(int(doc.start[j])):
+    # an input media span at a text boundary precedes the following text.
+    # img/embed ids come pre-classified from the tokenizer pass (sorted
+    # in doc order), so only actual media nodes are visited
+    if doc.media_ids:
+        start_l = doc.start_l
+        a0 = bisect.bisect_left(start_l, lo)
+        b0 = bisect.bisect_left(start_l, hi)
+        m_lo = bisect.bisect_left(doc.media_ids, a0)
+        m_hi = bisect.bisect_left(doc.media_ids, b0)
+        for j in doc.media_ids[m_lo:m_hi]:
+            s_j = start_l[j]
+            if not in_pruned(s_j):
                 attrs = doc.attrs(j)
                 ref = attrs.get("src") or attrs.get("data-src") or ""
-                events.append((int(doc.start[j]), 0, "media", "", ref))
+                events.append((s_j, 0, "media", "", ref))
     if media_positions:
         for pos, ref in media_positions:
             # inclusive upper bound: media exactly at the container's

@@ -37,6 +37,13 @@ VOID_TAGS = frozenset(
     "source track wbr".split()
 )
 
+# owned here (not boilerplate.py) so the tokenizer can pre-classify
+# nodes in its single pass; boilerplate imports these
+BOILER_TAGS = frozenset(
+    "nav footer aside header script style form iframe noscript".split()
+)
+MEDIA_TAGS = ("img", "embed")
+
 KNOWN_TAGS = frozenset(
     """a abbr address area article aside audio b base bdi bdo blockquote body
     br button canvas caption cite code col colgroup command datalist dd del
@@ -129,7 +136,8 @@ class DocIndex:
     __slots__ = (
         "html", "n", "tag", "start", "end", "cstart", "cend", "parent",
         "depth", "tstart", "tend", "_attr_src", "_attrs", "_children",
-        "_tag_arr",
+        "_tag_arr", "start_l", "end_l", "cstart_l", "cend_l", "parent_l",
+        "tstart_l", "tend_l", "a_ids", "media_ids", "boiler_l",
     )
 
     @property
@@ -148,7 +156,16 @@ class DocIndex:
         cends: list[int] = []  # contents end (== st_end until closed)
         attr_src: list[str] = []
         open_stacks: dict[str, list[int]] = {}
-        token_spans: list[tuple[int, int]] = []
+        # single-pass side products (round 6 profiling): plain-text
+        # regions (gaps between markup tokens) built inline instead of
+        # via a token_spans tuple list + second pass; anchor / media /
+        # boilerplate node classification done here (set lookups per
+        # open tag) so the scorer never rebuilds them per document
+        tstart: list[int] = []
+        tend: list[int] = []
+        a_ids: list[int] = []
+        media_ids: list[int] = []
+        boiler_l: list[bool] = []
 
         # hot loop: local bindings + positional groups (group 1=close,
         # 2=cname, 3=name, 4=attrs); ~200 tokens/doc on the bench mix
@@ -158,11 +175,19 @@ class DocIndex:
         ends_append = ends.append
         cends_append = cends.append
         attr_append = attr_src.append
-        spans_append = token_spans.append
+        tstart_append = tstart.append
+        tend_append = tend.append
+        a_append = a_ids.append
+        media_append = media_ids.append
+        boiler_append = boiler_l.append
         get_stack = open_stacks.get
+        pos = 0
         for m in TOKEN_RE.finditer(html):
             s_tok, e_tok = m.span()
-            spans_append((s_tok, e_tok))
+            if s_tok > pos:
+                tstart_append(pos)
+                tend_append(s_tok)
+            pos = e_tok
             last = m.lastindex  # 4=open(attrs), 2=close(cname), 5=special
             if last == 4:
                 lname = m.group(3).lower()
@@ -173,6 +198,11 @@ class DocIndex:
                 ends_append(e_tok)
                 cends_append(e_tok)
                 attr_append(m.span(4))  # lazy: slice html only on demand
+                boiler_append(lname in BOILER_TAGS)
+                if lname == "a":
+                    a_append(idx)
+                elif lname == "img" or lname == "embed":
+                    media_append(idx)
                 if lname not in VOID_TAGS:
                     stack = get_stack(lname)
                     if stack is None:
@@ -194,10 +224,19 @@ class DocIndex:
                         ends[idx] = e_tok
                         cends[idx] = s_tok
                 # orphan/junk close tag: markup only
+        if pos < len(html):
+            tstart_append(pos)
+            tend_append(len(html))
 
         n = len(tags)
         self.n = n
         self.tag = tags
+        # list twins stay alongside the numpy forms: scalar hot paths
+        # (container descent, per-node loops) index plain ints without
+        # numpy boxing; vectorized paths use the arrays
+        self.start_l = starts
+        self.end_l = ends
+        self.cstart_l = st_ends
         self.start = np.asarray(starts, dtype=np.int64)
         self.end = np.asarray(ends, dtype=np.int64)
         self.cstart = np.asarray(st_ends, dtype=np.int64)
@@ -206,39 +245,37 @@ class DocIndex:
         bare = cend < self.cstart
         cend[bare] = self.cstart[bare]
         self.cend = cend
+        self.cend_l = cend.tolist()
         self._attr_src = attr_src
         self._attrs: list[dict | None] = [None] * n
+        self.a_ids = a_ids
+        self.media_ids = media_ids
+        self.boiler_l = boiler_l
 
-        # parent pointers via interval stack (nodes are in start order)
-        parent = np.full(n, -1, dtype=np.int64)
-        depth = np.zeros(n, dtype=np.int64)
+        # parent pointers via interval stack (nodes are in start order);
+        # plain-int lists, converted once (per-element numpy writes were
+        # a measured hot spot)
+        parent_l = [-1] * n
+        depth_l = [0] * n
         stack: list[int] = []
         for i in range(n):
             s_i = starts[i]
             while stack and ends[stack[-1]] <= s_i:
                 stack.pop()
             if stack:
-                parent[i] = stack[-1]
-                depth[i] = depth[stack[-1]] + 1
+                p = stack[-1]
+                parent_l[i] = p
+                depth_l[i] = depth_l[p] + 1
             if ends[i] > st_ends[i]:  # only containers can own children
                 stack.append(i)
-        self.parent = parent
-        self.depth = depth
+        self.parent_l = parent_l
+        self.parent = np.asarray(parent_l, dtype=np.int64)
+        self.depth = np.asarray(depth_l, dtype=np.int64)
         self._children: list | None = None
         self._tag_arr = None
 
-        # plain-text regions = gaps between markup tokens
-        tstart: list[int] = []
-        tend: list[int] = []
-        pos = 0
-        for s_t, e_t in token_spans:
-            if s_t > pos:
-                tstart.append(pos)
-                tend.append(s_t)
-            pos = e_t
-        if pos < len(html):
-            tstart.append(pos)
-            tend.append(len(html))
+        self.tstart_l = tstart
+        self.tend_l = tend
         self.tstart = np.asarray(tstart, dtype=np.int64)
         self.tend = np.asarray(tend, dtype=np.int64)
 
@@ -270,15 +307,14 @@ class DocIndex:
     def children_of(self, i: int) -> list[int]:
         if self._children is None:
             ch: list[list[int]] = [[] for _ in range(self.n)]
-            for j in range(self.n):
-                p = self.parent[j]
+            for j, p in enumerate(self.parent_l):
                 if p >= 0:
                     ch[p].append(j)
             self._children = ch
         return self._children[i]
 
     def roots(self) -> list[int]:
-        return [i for i in range(self.n) if self.parent[i] < 0]
+        return [i for i, p in enumerate(self.parent_l) if p < 0]
 
     def text_between(self, lo: int, hi: int) -> str:
         """Concatenated plain text within [lo, hi) -- strip_tags semantics."""
