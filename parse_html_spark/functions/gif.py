@@ -169,11 +169,19 @@ def _interlace_rows(h: int) -> np.ndarray:
     return np.concatenate([np.arange(off, h, step) for off, step in _INTERLACE])
 
 
-def decode_gif(data: bytes) -> np.ndarray:
+MAX_PIXELS = 1 << 25  # 32M px (~96 MB RGB canvas) -- covers 8k x 4k
+
+
+def decode_gif(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     """GIF -> (H, W, 3) uint8 RGB: the first frame composed onto the
-    background-filled logical screen. Malformed input -> ValueError."""
+    background-filled logical screen. Malformed input -> ValueError.
+
+    max_pixels caps the logical screen (a 35-byte crafted GIF can
+    declare a 65535x65535 screen = ~12.9 GB canvas; at crawl scale a
+    decompression bomb must census as undecodable, not MemoryError an
+    executor -- review r6)."""
     try:
-        return _decode_gif(data)
+        return _decode_gif(data, max_pixels)
     except (IndexError, struct.error, KeyError, OverflowError) as exc:
         raise ValueError(f"corrupt GIF: {type(exc).__name__}: {exc}") from exc
 
@@ -199,7 +207,7 @@ def _skip_subblocks(data: bytes, pos: int) -> int:
         pos += size
 
 
-def _decode_gif(data: bytes) -> np.ndarray:
+def _decode_gif(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     if len(data) < 13:
@@ -207,6 +215,10 @@ def _decode_gif(data: bytes) -> np.ndarray:
     sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
     if sw == 0 or sh == 0:
         raise ValueError("zero-size logical screen")
+    if sw * sh > max_pixels:
+        raise ValueError(
+            f"logical screen {sw}x{sh} exceeds max_pixels={max_pixels}"
+        )
     gct, pos = _read_color_table(data, 13, packed, 7)
     transparent = None
     while True:
@@ -234,6 +246,10 @@ def _decode_gif(data: bytes) -> np.ndarray:
         )
         if w == 0 or h == 0:
             raise ValueError("zero-size image descriptor")
+        if left + w > sw or top + h > sh:
+            # validated BEFORE the LZW pass: a frame claiming 65535^2
+            # pixels would otherwise build a 4.3e9-int index list
+            raise ValueError("frame extends past the logical screen")
         lct, pos = _read_color_table(data, pos + 10, ipacked, 7)
         palette = lct if lct is not None else gct
         if palette is None:
@@ -267,8 +283,6 @@ def _decode_gif(data: bytes) -> np.ndarray:
             canvas = np.broadcast_to(gct[bg], (sh, sw, 3)).copy()
         else:
             canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
-        if left + w > sw or top + h > sh:
-            raise ValueError("frame extends past the logical screen")
         frame = palette[idx]
         if transparent is not None and transparent < len(palette):
             region = canvas[top : top + h, left : left + w]

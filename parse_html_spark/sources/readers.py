@@ -23,6 +23,7 @@ comes from the number of archives, which at crawl scale is millions.
 
 from __future__ import annotations
 
+import codecs
 import zlib
 
 SPAN_DOC_SCHEMA = (
@@ -177,7 +178,11 @@ def _decompress_http(payload: bytes, encoding: str) -> tuple[bytes | None, str |
         return out, (f"content-encoding gzip: {err}" if err else None)
     if enc == "deflate":
         # RFC 9110 says zlib-wrapped; raw-deflate senders are a classic
-        # wild-web deviation -- try both
+        # wild-web deviation -- try both, and prefer a COMPLETE stream
+        # from either over a truncated one (a raw-deflate body whose
+        # first bytes coincidentally form a valid zlib header would
+        # otherwise return partial garbage, review r6)
+        best: tuple[bytes, str] | None = None
         first_err = None
         for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
             d = zlib.decompressobj(wbits=wbits)
@@ -186,9 +191,12 @@ def _decompress_http(payload: bytes, encoding: str) -> tuple[bytes | None, str |
             except zlib.error as exc:
                 first_err = first_err or str(exc)
                 continue
-            if not d.eof:
-                return out, "content-encoding deflate: truncated stream"
-            return out, None
+            if d.eof:
+                return out, None
+            if best is None or len(out) > len(best[0]):
+                best = (out, "content-encoding deflate: truncated stream")
+        if best is not None:
+            return best
         return None, f"content-encoding deflate: {first_err}"
     return None, f"unsupported content-encoding {enc!r}"
 
@@ -200,8 +208,6 @@ def _decode_charset(payload: bytes, label: str | None):
     errors=replace (a handful of bad bytes must not drop a document),
     but an UNKNOWN label is reported so the census separates 'decoded
     per declaration' from 'declaration ignored'."""
-    import codecs
-
     if payload.startswith(codecs.BOM_UTF8):
         return payload.decode("utf-8-sig", errors="replace"), "utf-8", None
     if payload.startswith(codecs.BOM_UTF16_LE) or payload.startswith(
@@ -210,16 +216,33 @@ def _decode_charset(payload: bytes, label: str | None):
         # the 'utf-16' codec consumes the BOM and picks the byte order
         return payload.decode("utf-16", errors="replace"), "utf-16", None
     if label:
+        # lookup can raise ValueError (NUL in the label) or TypeError,
+        # and a NON-TEXT codec (hex/base64/zlib/rot13...) passes lookup
+        # but raises LookupError at decode time -- a garbage header
+        # must fall back, never kill the task (review r6)
         try:
             info = codecs.lookup(label)
-        except LookupError:
+            return payload.decode(info.name, errors="replace"), info.name, None
+        except (LookupError, ValueError, TypeError, UnicodeError):
             return (
                 payload.decode("utf-8", errors="replace"),
                 "utf-8",
                 f"unknown charset {label!r}",
             )
-        return payload.decode(info.name, errors="replace"), info.name, None
     return payload.decode("utf-8", errors="replace"), "utf-8", None
+
+
+def _norm_charset(label: str | None) -> str:
+    """Census-stable charset name: the codecs-normalized form when the
+    label is a known text encoding, else the 'utf-8' fallback that the
+    decode path would use -- so ok and failed rows for the same
+    declared charset land in the same census bucket (review r6)."""
+    if not label:
+        return "utf-8"
+    try:
+        return codecs.lookup(label).name
+    except (LookupError, ValueError, TypeError):
+        return "utf-8"
 
 
 _CHARSET_RE = None
@@ -271,14 +294,40 @@ def _decode_http_response(body: bytes):
             charset_label = _charset_from_content_type(
                 hdrs.get("content-type", "")
             )
-            if "chunked" in hdrs.get("transfer-encoding", "").lower():
+            te = [
+                t.split(";")[0].strip().lower()
+                for t in hdrs.get("transfer-encoding", "").split(",")
+                if t.strip()
+            ]
+            if te and te[-1] == "chunked":
                 payload, err = _dechunk(payload)
+                te = te[:-1]
+            # undo remaining transfer codings in reverse application
+            # order ('Transfer-Encoding: gzip, chunked' is RFC-legal --
+            # dechunk, then gunzip, review r6); an unrecognized coding
+            # means the payload bytes are NOT text -- flag, don't emit
+            for tok in reversed(te):
+                if payload is None:
+                    break
+                if tok == "identity":
+                    continue
+                if tok in ("gzip", "x-gzip", "deflate"):
+                    payload, terr = _decompress_http(payload, tok)
+                    err = err or terr
+                else:
+                    err = err or f"unsupported transfer-encoding {tok!r}"
+                    payload = None
             ce = hdrs.get("content-encoding", "identity")
             content_encoding = ce.strip().lower() or "identity"
-            if err is None:
-                payload, err = _decompress_http(payload, ce)
+            if payload is not None:
+                # run even after a truncated dechunk: the partial bytes
+                # decompress partially (gzip/deflate degrade), whereas
+                # skipping here would charset-decode raw COMPRESSED
+                # bytes into mojibake 'text' (review r6)
+                payload, cerr2 = _decompress_http(payload, ce)
+                err = err or cerr2
     if payload is None:
-        return None, charset_label or "utf-8", content_encoding, err
+        return None, _norm_charset(charset_label), content_encoding, err
     text, charset, cerr = _decode_charset(payload, charset_label)
     return text, charset, content_encoding, err or cerr
 

@@ -214,3 +214,34 @@ def test_gif_media_integration(spark):
         pdf.filter(pdf.media_ref == "m://gif"), 6, 6, fake=False
     ).collect()
     assert codecs.decode_png(bytes(out[0]["payload"])).shape == (6, 6, 3)
+
+
+def test_gif_decompression_bomb_rejected():
+    """Review r6: a 35-byte GIF declaring a 65535x65535 screen (or a
+    frame that big) must raise ValueError BEFORE allocating the ~13 GB
+    canvas / 4.3e9-entry LZW index list -- flag-mode census, not
+    MemoryError."""
+    bomb = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 65535, 65535, 0x80, 0, 0)
+        + bytes(6)  # 2-entry GCT
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+        + bytes([2])
+        + _subblocks(_lzw_encode([0], 2))
+        + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_gif(bomb)
+    # frame larger than a small screen: caught before the LZW pass
+    big_frame = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 4, 4, 0x80, 0, 0)
+        + bytes(6)
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+        + bytes([2, 0])
+        + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="past the logical screen"):
+        decode_gif(big_frame)

@@ -528,3 +528,104 @@ def test_http_decode_never_raises_fuzz():
         assert text is None or isinstance(text, str)
         assert isinstance(charset, str) and isinstance(enc, str)
         assert err is None or isinstance(err, str)
+
+
+def test_http_decode_review_r6_fixes():
+    """Round-6 review findings, pinned: (1) non-text/garbage charset
+    labels fall back instead of raising; (2) truncated-chunked +
+    compressed bodies never emit raw compressed bytes as text;
+    (3) 'Transfer-Encoding: gzip, chunked' is fully undone;
+    (4) unknown transfer codings flag, not silently mojibake;
+    (5) raw deflate with a coincidental zlib-valid header still
+    decodes fully; (6) charset census buckets are label-normalized
+    for failed rows too."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from parse_html_spark.sources.readers import (
+        _decode_http_response,
+        _norm_charset,
+    )
+
+    # (1) 'hex' passes codecs.lookup but is not a text encoding;
+    # NUL in the label raises ValueError at lookup
+    for label in ("hex", "base64", "zlib", "ut\x00f8", "rot13"):
+        msg = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset={label}"
+            "\r\n\r\nplain body"
+        ).encode("latin-1")
+        text, cs, ce, err = _decode_http_response(msg)
+        assert text == "plain body" and cs == "utf-8"
+        assert err is not None and "unknown charset" in err
+
+    # (2) chunked+gzip cut mid-chunk: partial DECOMPRESSED text only.
+    # Body is incompressible-ish so the gzip stream spans many chunks,
+    # and the cut lands INSIDE the chunk data (not the HTTP header)
+    import random as _random
+
+    rng = _random.Random(0)
+    body_text = "clean body text " + "".join(
+        rng.choice("abcdefghij") for _ in range(4000)
+    )
+    payload = _gzip.compress(body_text.encode())
+    chunks = bytearray()
+    for i in range(0, len(payload), 64):
+        p = payload[i : i + 64]
+        chunks += f"{len(p):x}".encode() + b"\r\n" + p + b"\r\n"
+    head = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+    )
+    cut = head + bytes(chunks[: len(chunks) // 2])
+    text, cs, ce, err = _decode_http_response(cut)
+    assert err is not None
+    assert text is None or "\x1f" not in text  # no gzip magic as 'text'
+    if text:
+        assert text.startswith("clean body text ")
+
+    # (3) RFC-legal 'Transfer-Encoding: gzip, chunked'
+    body = _gzip.compress(b"te-gzip body")
+    chunks = f"{len(body):x}".encode() + b"\r\n" + body + b"\r\n0\r\n\r\n"
+    msg = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\n"
+        + chunks
+    )
+    assert _decode_http_response(msg)[0] == "te-gzip body"
+    assert _decode_http_response(msg)[3] is None
+
+    # (4) unknown transfer coding: no text, flagged
+    msg = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: frobnicate\r\n\r\nxx"
+    text, _cs, _ce, err = _decode_http_response(msg)
+    assert text is None and "unsupported transfer-encoding" in err
+
+    # (5) a raw-deflate stream whose first two bytes pass the zlib
+    # header check must still decode fully. Handcrafted: stored block
+    # with byte0=0x08 (BFINAL=0, BTYPE=00, the set bit lands in the
+    # ignored pad bits) and LEN low byte 0x1D -- (0x08<<8|0x1D) % 31
+    # == 0, a valid CM=8 zlib header. The zlib attempt mis-parses and
+    # errors; the raw attempt decodes completely.
+    want = b"x" * 0x1D
+    raw = (
+        b"\x08\x1d\x00\xe2\xff" + want  # LEN=0x001D, NLEN=~LEN
+        + b"\x01\x00\x00\xff\xff"  # final empty stored block
+    )
+    assert _zlib.decompress(raw, wbits=-_zlib.MAX_WBITS) == want + b""
+    msg = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + raw
+    text, _cs, _ce, err = _decode_http_response(msg)
+    assert err is None and text == want.decode()
+    # zlib-wrapped stream cut before its adler trailer: full text out,
+    # flagged truncated (the complete-stream preference keeps partial
+    # zlib output only when no attempt completes)
+    z = _zlib.compress(b"wrapped deflate payload")
+    msg = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + z[:-2]
+    text, _cs, _ce, err = _decode_http_response(msg)
+    assert text == "wrapped deflate payload" and "truncated" in err
+
+    # (6) failed rows report the normalized charset name
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n"
+        b"Content-Encoding: br\r\n\r\n\x0b\x02junk"
+    )
+    text, cs, _ce, err = _decode_http_response(msg)
+    assert text is None and cs == "iso8859-1"
+    assert _norm_charset("x-martian") == "utf-8"
