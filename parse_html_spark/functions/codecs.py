@@ -26,6 +26,12 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# decompression-bomb ceiling shared by every image decoder (PNG/PPM
+# here, JPEG and GIF import it): 32M px (~96 MB RGB) covers 8k x 4k.
+# A crafted header declaring 65535 x 65535 must raise ValueError (a
+# flag-mode census row), never MemoryError an executor (review r6).
+MAX_IMAGE_PIXELS = 1 << 25
+
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> channels
 
 
@@ -120,6 +126,10 @@ def _decode_png_impl(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported PNG color type {color_type}")
             if interlace:
                 raise ValueError("interlaced PNG not supported")
+            if width * height > MAX_IMAGE_PIXELS:
+                raise ValueError(
+                    f"PNG {width}x{height} exceeds MAX_IMAGE_PIXELS"
+                )
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -243,6 +253,8 @@ def _decode_ppm_impl(data: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
+    if w * h > MAX_IMAGE_PIXELS:
+        raise ValueError(f"PPM {w}x{h} exceeds MAX_IMAGE_PIXELS")
     px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
     return px.reshape(h, w, 3).copy()
 

@@ -28,7 +28,11 @@ import struct
 
 import numpy as np
 
+from .codecs import MAX_IMAGE_PIXELS
+
 _MAX_CODE = 4096  # 12-bit LZW ceiling fixed by the GIF spec
+
+MAX_PIXELS = MAX_IMAGE_PIXELS  # shared decompression-bomb ceiling
 
 
 def _lzw_decode(data: bytes, mcs: int, expected: int) -> list[int]:
@@ -167,9 +171,6 @@ def _deinterlace(idx: np.ndarray) -> np.ndarray:
 
 def _interlace_rows(h: int) -> np.ndarray:
     return np.concatenate([np.arange(off, h, step) for off, step in _INTERLACE])
-
-
-MAX_PIXELS = 1 << 25  # 32M px (~96 MB RGB canvas) -- covers 8k x 4k
 
 
 def decode_gif(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:

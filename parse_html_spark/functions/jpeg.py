@@ -32,6 +32,8 @@ import struct
 
 import numpy as np
 
+from .codecs import MAX_IMAGE_PIXELS
+
 # zigzag scan order: index k of the scan -> (row, col) flat index
 _ZZ = np.array(
     [
@@ -331,6 +333,10 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
             height, width = struct.unpack(">HH", body[1:5])
+            if height * width > MAX_IMAGE_PIXELS:
+                raise ValueError(
+                    f"JPEG {width}x{height} exceeds MAX_IMAGE_PIXELS"
+                )
             nf = body[5]
             comps = []
             for c in range(nf):
@@ -668,6 +674,10 @@ def _decode_progressive(data: bytes) -> np.ndarray:
             if body[0] != 8:
                 raise ValueError(f"unsupported precision {body[0]}")
             height, width = struct.unpack(">HH", body[1:5])
+            if height * width > MAX_IMAGE_PIXELS:
+                raise ValueError(
+                    f"JPEG {width}x{height} exceeds MAX_IMAGE_PIXELS"
+                )
             nf = body[5]
             comps = []
             for c in range(nf):

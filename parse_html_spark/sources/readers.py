@@ -165,40 +165,44 @@ def _dechunk(body: bytes) -> tuple[bytes, str | None]:
     return bytes(out), "truncated chunked body (no terminating chunk)"
 
 
-def _decompress_http(payload: bytes, encoding: str) -> tuple[bytes | None, str | None]:
-    """Undo an HTTP ``Content-Encoding``. Returns (payload or None,
-    error or None); partial output survives truncation, None payload
-    means nothing decodable (emitting the raw compressed bytes as
-    'text' would be exactly the mojibake this layer exists to stop)."""
+def _decompress_http(
+    payload: bytes, encoding: str, layer: str = "content-encoding"
+) -> tuple[bytes | None, str | None]:
+    """Undo an HTTP content (or transfer, per ``layer``) coding.
+    Returns (payload or None, error or None); partial output survives
+    truncation, None payload means nothing decodable (emitting the raw
+    compressed bytes as 'text' would be exactly the mojibake this
+    layer exists to stop)."""
     enc = encoding.strip().lower()
     if enc in ("", "identity", "none"):
         return payload, None
     if enc in ("gzip", "x-gzip"):
         out, err = _gunzip_members(payload)
-        return out, (f"content-encoding gzip: {err}" if err else None)
+        return out, (f"{layer} gzip: {err}" if err else None)
     if enc == "deflate":
         # RFC 9110 says zlib-wrapped; raw-deflate senders are a classic
-        # wild-web deviation -- try both, and prefer a COMPLETE stream
-        # from either over a truncated one (a raw-deflate body whose
-        # first bytes coincidentally form a valid zlib header would
-        # otherwise return partial garbage, review r6)
-        best: tuple[bytes, str] | None = None
-        first_err = None
-        for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
-            d = zlib.decompressobj(wbits=wbits)
-            try:
-                out = d.decompress(payload) + d.flush()
-            except zlib.error as exc:
-                first_err = first_err or str(exc)
-                continue
+        # wild-web deviation. Try zlib framing first and fall to raw
+        # ONLY when the zlib parse errors: a raw reparse of a genuinely
+        # zlib-framed truncated stream can coincidentally 'complete'
+        # into garbage (review r6 pass 2), so a successful-but-
+        # truncated zlib parse is never overridden
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS)
+        try:
+            out = d.decompress(payload) + d.flush()
             if d.eof:
                 return out, None
-            if best is None or len(out) > len(best[0]):
-                best = (out, "content-encoding deflate: truncated stream")
-        if best is not None:
-            return best
-        return None, f"content-encoding deflate: {first_err}"
-    return None, f"unsupported content-encoding {enc!r}"
+            return out, f"{layer} deflate: truncated stream"
+        except zlib.error as exc:
+            zerr = str(exc)
+        d = zlib.decompressobj(wbits=-zlib.MAX_WBITS)
+        try:
+            out = d.decompress(payload) + d.flush()
+        except zlib.error:
+            return None, f"{layer} deflate: {zerr}"
+        if d.eof:
+            return out, None
+        return out, f"{layer} deflate: truncated stream"
+    return None, f"unsupported {layer} {enc!r}"
 
 
 def _decode_charset(payload: bytes, label: str | None):
@@ -216,14 +220,18 @@ def _decode_charset(payload: bytes, label: str | None):
         # the 'utf-16' codec consumes the BOM and picks the byte order
         return payload.decode("utf-16", errors="replace"), "utf-16", None
     if label:
-        # lookup can raise ValueError (NUL in the label) or TypeError,
-        # and a NON-TEXT codec (hex/base64/zlib/rot13...) passes lookup
-        # but raises LookupError at decode time -- a garbage header
-        # must fall back, never kill the task (review r6)
+        name = _lookup_text_codec(label)
+        if name is None:
+            return (
+                payload.decode("utf-8", errors="replace"),
+                "utf-8",
+                f"unknown charset {label!r}",
+            )
         try:
-            info = codecs.lookup(label)
-            return payload.decode(info.name, errors="replace"), info.name, None
+            return payload.decode(name, errors="replace"), name, None
         except (LookupError, ValueError, TypeError, UnicodeError):
+            # belt over the _is_text_encoding check: any codec that
+            # still refuses a replace-mode decode falls back too
             return (
                 payload.decode("utf-8", errors="replace"),
                 "utf-8",
@@ -232,17 +240,29 @@ def _decode_charset(payload: bytes, label: str | None):
     return payload.decode("utf-8", errors="replace"), "utf-8", None
 
 
+def _lookup_text_codec(label: str) -> str | None:
+    """Normalized codec name for a declared charset, or None when the
+    label is unknown, malformed, or names a NON-TEXT codec
+    (hex/base64/rot13/zlib pass codecs.lookup but raise at decode
+    time -- review r6). Single source for both the decode path and
+    census normalization so their buckets can never disagree."""
+    try:
+        info = codecs.lookup(label)
+    except (LookupError, ValueError, TypeError):
+        return None
+    if not getattr(info, "_is_text_encoding", True):
+        return None
+    return info.name
+
+
 def _norm_charset(label: str | None) -> str:
     """Census-stable charset name: the codecs-normalized form when the
-    label is a known text encoding, else the 'utf-8' fallback that the
+    label is a known TEXT encoding, else the 'utf-8' fallback that the
     decode path would use -- so ok and failed rows for the same
     declared charset land in the same census bucket (review r6)."""
     if not label:
         return "utf-8"
-    try:
-        return codecs.lookup(label).name
-    except (LookupError, ValueError, TypeError):
-        return "utf-8"
+    return _lookup_text_codec(label) or "utf-8"
 
 
 _CHARSET_RE = None
@@ -299,20 +319,25 @@ def _decode_http_response(body: bytes):
                 for t in hdrs.get("transfer-encoding", "").split(",")
                 if t.strip()
             ]
-            if te and te[-1] == "chunked":
-                payload, err = _dechunk(payload)
-                te = te[:-1]
-            # undo remaining transfer codings in reverse application
-            # order ('Transfer-Encoding: gzip, chunked' is RFC-legal --
-            # dechunk, then gunzip, review r6); an unrecognized coding
-            # means the payload bytes are NOT text -- flag, don't emit
+            # undo transfer codings in reverse application order
+            # ('Transfer-Encoding: gzip, chunked' is RFC-legal --
+            # dechunk, then gunzip, review r6). 'chunked' is handled
+            # wherever it appears (wild-web 'chunked, identity' must
+            # keep decoding as it always did -- review r6 pass 2); an
+            # unrecognized coding means the payload bytes are NOT
+            # text -- flag, don't emit
             for tok in reversed(te):
                 if payload is None:
                     break
                 if tok == "identity":
                     continue
-                if tok in ("gzip", "x-gzip", "deflate"):
-                    payload, terr = _decompress_http(payload, tok)
+                if tok == "chunked":
+                    payload, terr = _dechunk(payload)
+                    err = err or terr
+                elif tok in ("gzip", "x-gzip", "deflate"):
+                    payload, terr = _decompress_http(
+                        payload, tok, layer="transfer-encoding"
+                    )
                     err = err or terr
                 else:
                     err = err or f"unsupported transfer-encoding {tok!r}"

@@ -629,3 +629,85 @@ def test_http_decode_review_r6_fixes():
     text, cs, _ce, err = _decode_http_response(msg)
     assert text is None and cs == "iso8859-1"
     assert _norm_charset("x-martian") == "utf-8"
+
+
+def test_http_decode_review_r6_pass2():
+    """Second review wave over the fixes themselves (the fix wave
+    always has bugs -- round-4/5 lesson): census-stable non-text
+    charset labels, wild-web 'chunked, identity' tolerance, and
+    transfer-vs-content layer attribution."""
+    import gzip as _gzip
+
+    from parse_html_spark.sources.readers import (
+        _decode_http_response,
+        _norm_charset,
+    )
+
+    # non-text codec label: ok row and failed row bucket IDENTICALLY
+    ok_msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=hex\r\n\r\nbody"
+    )
+    bad_msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=hex\r\n"
+        b"Content-Encoding: br\r\n\r\n\x0bjunk"
+    )
+    _t1, cs_ok, _e1, _r1 = _decode_http_response(ok_msg)
+    t2, cs_bad, _e2, _r2 = _decode_http_response(bad_msg)
+    assert t2 is None and cs_ok == cs_bad == "utf-8"
+    assert _norm_charset("hex") == "utf-8"
+
+    # 'Transfer-Encoding: chunked, identity' kept decoding pre-round-6;
+    # it must keep decoding now
+    msg = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked, identity\r\n\r\n"
+        b"5\r\nhello\r\n0\r\n\r\n"
+    )
+    text, _cs, _ce, err = _decode_http_response(msg)
+    assert text == "hello" and err is None
+
+    # a transfer-coding failure is attributed to Transfer-Encoding,
+    # not Content-Encoding
+    body = _gzip.compress(b"x" * 50)[:10]
+    chunks = f"{len(body):x}".encode() + b"\r\n" + body + b"\r\n0\r\n\r\n"
+    msg = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\n" + chunks
+    )
+    _t, _cs, _ce, err = _decode_http_response(msg)
+    assert err is not None and err.startswith("transfer-encoding gzip:")
+
+
+def test_image_bomb_caps_all_codecs():
+    """The decompression-bomb ceiling is shared: crafted JPEG/PNG/PPM
+    headers declaring 65535x65535 raise ValueError before allocation,
+    same as GIF (review r6 pass 2)."""
+    import struct as _s
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from parse_html_spark.functions.codecs import (
+        PNG_SIG,
+        decode_png,
+        decode_ppm,
+    )
+    from parse_html_spark.functions.jpeg import decode_jpeg
+
+    # JPEG: SOF0 with giant dims (baseline and progressive markers)
+    for sof_marker in (b"\xc0", b"\xc2"):
+        sof = (
+            b"\xff\xd8\xff" + sof_marker
+            + _s.pack(">H", 11)  # seg len: 8 + 3*1
+            + bytes([8]) + _s.pack(">HH", 65535, 65535)
+            + bytes([1, 0x11, 0, 0x11])
+        )
+        with _pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+            decode_jpeg(sof + b"\xff\xd9")
+    # PNG
+    ihdr = _s.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+    crc = _s.pack(">I", _zlib.crc32(b"IHDR" + ihdr))
+    png = PNG_SIG + _s.pack(">I", 13) + b"IHDR" + ihdr + crc
+    with _pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+        decode_png(png)
+    # PPM
+    with _pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+        decode_ppm(b"P6\n65535 65535\n255\n\x00")
