@@ -126,6 +126,8 @@ def _decode_png_impl(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported PNG color type {color_type}")
             if interlace:
                 raise ValueError("interlaced PNG not supported")
+            if width == 0 or height == 0:
+                raise ValueError("zero-size PNG")
             if width * height > MAX_IMAGE_PIXELS:
                 raise ValueError(
                     f"PNG {width}x{height} exceeds MAX_IMAGE_PIXELS"
@@ -137,9 +139,17 @@ def _decode_png_impl(data: bytes) -> np.ndarray:
     if width is None:
         raise ValueError("PNG missing IHDR")
     ch = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride = width * ch
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # bounded inflate (review r6 pass 3): the header cap alone does not
+    # stop a small IDAT whose zlib stream expands to GBs -- cap the
+    # decompressed output at expected+1 so a bomb shows up as a length
+    # mismatch (ValueError), never a MemoryError
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
+        raise ValueError("PNG data length mismatch")
+    if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
         raise ValueError("PNG data length mismatch")
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -253,6 +263,10 @@ def _decode_ppm_impl(data: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
+    if w <= 0 or h <= 0:
+        # a negative dim passes a product cap and np.frombuffer treats
+        # a negative count as read-all (review r6 pass 3)
+        raise ValueError(f"bad PPM dimensions {w}x{h}")
     if w * h > MAX_IMAGE_PIXELS:
         raise ValueError(f"PPM {w}x{h} exceeds MAX_IMAGE_PIXELS")
     px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)

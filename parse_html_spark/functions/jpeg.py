@@ -34,6 +34,14 @@ import numpy as np
 
 from .codecs import MAX_IMAGE_PIXELS
 
+# multi-scan (progressive / non-interleaved) coefficient storage is
+# plain-int block lists (fast for the per-scan refinement passes, but
+# ~600 bytes per 64-coef block): cap total blocks to a ~300 MB
+# envelope. 2^19 blocks covers 4:4:4 up to ~11 MPx and 4:2:0 up to
+# ~22 MPx -- beyond the size of crawl-image progressive JPEGs; bigger
+# frames census as undecodable rather than exhausting executor memory.
+_MAX_MULTISCAN_BLOCKS = 1 << 19
+
 # zigzag scan order: index k of the scan -> (row, col) flat index
 _ZZ = np.array(
     [
@@ -693,6 +701,18 @@ def _decode_progressive(data: bytes) -> np.ndarray:
                     )
             mcux = -(-width // (8 * hmax))
             mcuy = -(-height // (8 * vmax))
+            total_blocks = sum(
+                (mcux * h) * (mcuy * v) for _cid, h, v, _tq in comps
+            )
+            if total_blocks > _MAX_MULTISCAN_BLOCKS:
+                # the multi-scan decoders accumulate coefficients in
+                # plain-int block LISTS (~600 B/block) -- the pixel cap
+                # alone leaves an in-cap progressive frame able to
+                # allocate GBs of list storage (review r6 pass 3)
+                raise ValueError(
+                    f"multi-scan JPEG needs {total_blocks} coefficient "
+                    f"blocks (> {_MAX_MULTISCAN_BLOCKS} memory envelope)"
+                )
             coefs = []
             geom = []
             for _cid, h, v, _tq in comps:

@@ -221,22 +221,16 @@ def _decode_charset(payload: bytes, label: str | None):
         return payload.decode("utf-16", errors="replace"), "utf-16", None
     if label:
         name = _lookup_text_codec(label)
-        if name is None:
-            return (
-                payload.decode("utf-8", errors="replace"),
-                "utf-8",
-                f"unknown charset {label!r}",
-            )
-        try:
-            return payload.decode(name, errors="replace"), name, None
-        except (LookupError, ValueError, TypeError, UnicodeError):
-            # belt over the _is_text_encoding check: any codec that
-            # still refuses a replace-mode decode falls back too
-            return (
-                payload.decode("utf-8", errors="replace"),
-                "utf-8",
-                f"unknown charset {label!r}",
-            )
+        if name is not None:
+            try:
+                return payload.decode(name, errors="replace"), name, None
+            except (LookupError, ValueError, TypeError, UnicodeError):
+                pass  # belt over _is_text_encoding: fall back below
+        return (
+            payload.decode("utf-8", errors="replace"),
+            "utf-8",
+            f"unknown charset {label!r}",
+        )
     return payload.decode("utf-8", errors="replace"), "utf-8", None
 
 

@@ -225,3 +225,45 @@ def test_spark_fake_false_raises_on_external_formats(spark):
     )
     with pytest.raises(Exception, match="missing SOF|ValueError"):
         extract_media_features(trunc, fake=False).collect()
+
+
+def test_png_idat_bomb_and_ppm_negative_dims():
+    """Review r6 pass 3: (1) an in-cap PNG header with an IDAT zlib
+    stream expanding to GBs must ValueError at the bounded inflate,
+    not MemoryError; (2) negative PPM dims must not bypass the product
+    cap or silently reshape."""
+    import struct as _s
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from parse_html_spark.functions.codecs import (
+        PNG_SIG,
+        decode_png,
+        decode_ppm,
+        encode_png,
+    )
+
+    def chunk(ctype, body):
+        return (
+            _s.pack(">I", len(body)) + ctype + body
+            + _s.pack(">I", _zlib.crc32(ctype + body))
+        )
+
+    ihdr = _s.pack(">IIBBBBB", 1000, 1000, 8, 2, 0, 0, 0)
+    bomb_idat = _zlib.compress(b"\x00" * (512 << 20), 9)  # 512 MB -> ~0.5 MB
+    png = (
+        PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb_idat)
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="length mismatch"):
+        decode_png(png)
+    # a legitimate image still round-trips through the bounded inflate
+    img = np.arange(300, dtype=np.uint8).reshape(10, 10, 3)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+    with _pytest.raises(ValueError, match="bad PPM dimensions"):
+        decode_ppm(b"P6\n100 -1\n255\n" + b"\x00" * 3000)
+    with _pytest.raises(ValueError, match="bad PPM dimensions"):
+        decode_ppm(b"P6\n-65535 65535\n255\n\x00")

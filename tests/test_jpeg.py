@@ -588,3 +588,23 @@ def test_media_pipeline_decodes_progressive_jpeg(spark):
     assert rows["media://prog"]["status"] == "ok"
     assert rows["media://prog"]["media_type"] == "image"
     assert rows["media://prog"]["feature"] == rows["media://base"]["feature"]
+
+
+def test_multiscan_block_memory_cap():
+    """Review r6 pass 3: an in-pixel-cap progressive SOF whose
+    coefficient block count exceeds the list-storage envelope raises
+    ValueError instead of allocating GBs of int lists."""
+    import struct as _s
+
+    # 5000x6500 = 32.5M px > pixel cap? No: use 5792x5792 ~ 33.5M --
+    # that trips the PIXEL cap first. Use 4096x4096x3 comps 4:4:4:
+    # 16.7M px passes MAX_IMAGE_PIXELS, but 3 * 512*512 blocks =
+    # 786k > 2^19 trips the block cap.
+    sof = (
+        b"\xff\xd8\xff\xc2"
+        + _s.pack(">H", 17)  # 8 + 3*3
+        + bytes([8]) + _s.pack(">HH", 4096, 4096)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    with pytest.raises(ValueError, match="memory envelope"):
+        decode_jpeg(sof + b"\xff\xd9")

@@ -614,8 +614,10 @@ def test_http_decode_review_r6_fixes():
     text, _cs, _ce, err = _decode_http_response(msg)
     assert err is None and text == want.decode()
     # zlib-wrapped stream cut before its adler trailer: full text out,
-    # flagged truncated (the complete-stream preference keeps partial
-    # zlib output only when no attempt completes)
+    # flagged truncated. The zlib-framed parse is authoritative when it
+    # does not error -- a raw reparse that coincidentally 'completes'
+    # must never override it (r6 pass 2; trade-off documented in
+    # _decompress_http)
     z = _zlib.compress(b"wrapped deflate payload")
     msg = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + z[:-2]
     text, _cs, _ce, err = _decode_http_response(msg)
