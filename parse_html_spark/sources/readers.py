@@ -249,6 +249,39 @@ def _lookup_text_codec(label: str) -> str | None:
     return info.name
 
 
+_META_CHARSET_RE = None
+
+
+def _sniff_html_charset(payload: bytes) -> str | None:
+    """Simplified HTML5 encoding prescan over the first 1024 bytes:
+    ``<meta charset=...>``, ``<meta http-equiv="Content-Type"
+    content="...; charset=...">`` (both match the charset= key), or an
+    XML declaration's encoding=. Real crawl servers very often omit
+    the header charset while the page declares it in markup -- without
+    this, every such non-UTF-8 page decodes as mojibake. Returns the
+    raw label (validated downstream) or None."""
+    global _META_CHARSET_RE
+    if _META_CHARSET_RE is None:
+        import re
+
+        _META_CHARSET_RE = (
+            re.compile(
+                rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9._-]+)",
+                re.IGNORECASE,
+            ),
+            re.compile(
+                rb"<\?xml[^>]{0,256}?encoding\s*=\s*[\"']([a-zA-Z0-9._-]+)",
+                re.IGNORECASE,
+            ),
+        )
+    head = payload[:1024]
+    for rx in _META_CHARSET_RE:
+        m = rx.search(head)
+        if m:
+            return m.group(1).decode("ascii", errors="replace")
+    return None
+
+
 def _norm_charset(label: str | None) -> str:
     """Census-stable charset name: the codecs-normalized form when the
     label is a known TEXT encoding, else the 'utf-8' fallback that the
@@ -347,6 +380,12 @@ def _decode_http_response(body: bytes):
                 err = err or cerr2
     if payload is None:
         return None, _norm_charset(charset_label), content_encoding, err
+    if charset_label is None:
+        # precedence per the HTML spec: BOM (handled in _decode_charset)
+        # > Content-Type header > in-document meta prescan > UTF-8.
+        # Sniffed AFTER the transfer/content codings are undone -- the
+        # markup is only visible in the decompressed bytes
+        charset_label = _sniff_html_charset(payload)
     text, charset, cerr = _decode_charset(payload, charset_label)
     return text, charset, content_encoding, err or cerr
 
@@ -485,7 +524,17 @@ def read_span_docs_warc(
                             else:
                                 status = f"http_decode_error:{herr}"
                     else:
-                        text, charset, cerr = _decode_charset(body, None)
+                        # 'resource' records carry raw documents (often
+                        # HTML) -> meta prescan applies; 'conversion'
+                        # (WET) is EXTRACTED PLAIN TEXT -- a page whose
+                        # text merely mentions '<meta charset=..' must
+                        # not trigger a re-decode
+                        label = (
+                            _sniff_html_charset(body)
+                            if rtype != "conversion"
+                            else None
+                        )
+                        text, charset, cerr = _decode_charset(body, label)
                         cenc = "identity"
                         if cerr is not None and status == "ok":
                             status = f"unknown_charset:{cerr}"

@@ -713,3 +713,85 @@ def test_image_bomb_caps_all_codecs():
     # PPM
     with _pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
         decode_ppm(b"P6\n65535 65535\n255\n\x00")
+
+
+def test_meta_charset_prescan(spark, tmp_path):
+    """HTML5 encoding prescan: when the Content-Type header carries no
+    charset, the first 1024 bytes' <meta charset=...> / http-equiv /
+    XML declaration decide the decode -- the single most common real
+    mojibake source after compressed bodies. Precedence pinned:
+    BOM > header > meta > UTF-8; WET plain text never sniffs."""
+    import codecs as _codecs
+
+    from parse_html_spark.sources.readers import (
+        _decode_http_response,
+        read_span_docs_wet,
+    )
+
+    html = '<html><head><meta charset="ISO-8859-1"></head>caf\xe9</html>'
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        + html.encode("latin-1")
+    )
+    text, cs, _ce, err = _decode_http_response(msg)
+    assert "caf\xe9" in text and cs == "iso8859-1" and err is None
+
+    # http-equiv form
+    html2 = (
+        '<head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=iso-8859-1"></head>cr\xe8me'
+    )
+    msg2 = b"HTTP/1.1 200 OK\r\n\r\n" + html2.encode("latin-1")
+    text, cs, _ce, _err = _decode_http_response(msg2)
+    assert "cr\xe8me" in text and cs == "iso8859-1"
+
+    # XML declaration
+    xml = "<?xml version='1.0' encoding='ISO-8859-1'?><r>d\xe9j\xe0</r>"
+    msg3 = b"HTTP/1.1 200 OK\r\n\r\n" + xml.encode("latin-1")
+    text, cs, _ce, _err = _decode_http_response(msg3)
+    assert "d\xe9j\xe0" in text and cs == "iso8859-1"
+
+    # header charset WINS over a conflicting meta
+    msg4 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        b'<meta charset="ISO-8859-1">plain'
+    )
+    assert _decode_http_response(msg4)[1] == "utf-8"
+
+    # BOM wins over meta
+    msg5 = (
+        b"HTTP/1.1 200 OK\r\n\r\n"
+        + _codecs.BOM_UTF8
+        + b'<meta charset="ISO-8859-1">b\xc3\xa9'
+    )
+    text, cs, _ce, _err = _decode_http_response(msg5)
+    assert "b\xe9" in text and cs == "utf-8"
+
+    # sniffed AFTER decompression (markup only visible decompressed)
+    import gzip as _gzip
+
+    msg6 = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        + _gzip.compress(html.encode("latin-1"))
+    )
+    text, cs, _ce, _err = _decode_http_response(msg6)
+    assert "caf\xe9" in text and cs == "iso8859-1"
+
+    # unknown meta label: annotated fallback, not a crash
+    msg7 = b"HTTP/1.1 200 OK\r\n\r\n<meta charset=x-martian>body"
+    text, cs, _ce, err = _decode_http_response(msg7)
+    assert text.endswith("body") and cs == "utf-8"
+    assert err and "unknown charset" in err
+
+    # WET conversion text mentioning a meta tag stays UTF-8 verbatim
+    d = tmp_path / "wet"
+    d.mkdir()
+    wet_text = 'the page said <meta charset="shift_jis"> literally'
+    write_warc(
+        str(d / "w.warc.wet"),
+        [("http://w/1", wet_text.encode("utf-8"))],
+        record_type="conversion",
+    )
+    rows = read_span_docs_wet(spark, str(d), on_error="flag").collect()
+    assert rows[0]["spans"][0]["text"] == wet_text
+    assert rows[0]["charset"] == "utf-8"
