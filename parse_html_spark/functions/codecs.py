@@ -148,8 +148,8 @@ def _decode_png_impl(data: bytes) -> np.ndarray:
     d = zlib.decompressobj()
     raw = d.decompress(bytes(idat), expected + 1)
     if len(raw) != expected:
-        raise ValueError("PNG data length mismatch")
-    if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+        # covers the bomb case too: a stream expanding past expected
+        # yields exactly expected+1 bytes from the bounded call
         raise ValueError("PNG data length mismatch")
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

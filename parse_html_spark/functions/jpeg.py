@@ -36,11 +36,12 @@ from .codecs import MAX_IMAGE_PIXELS
 
 # multi-scan (progressive / non-interleaved) coefficient storage is
 # plain-int block lists (fast for the per-scan refinement passes, but
-# ~600 bytes per 64-coef block): cap total blocks to a ~300 MB
-# envelope. 2^19 blocks covers 4:4:4 up to ~11 MPx and 4:2:0 up to
-# ~22 MPx -- beyond the size of crawl-image progressive JPEGs; bigger
-# frames census as undecodable rather than exhausting executor memory.
-_MAX_MULTISCAN_BLOCKS = 1 << 19
+# ~600 bytes per 64-coef block): cap total blocks to a ~600 MB
+# envelope. 2^20 blocks covers 4:4:4 progressive up to ~22 MPx (well
+# past 12 MP phone-camera uploads -- review r6 pass 4 lowered cap
+# rejected those) and 4:2:0 to the shared pixel cap; bigger frames
+# census as undecodable rather than exhausting executor memory.
+_MAX_MULTISCAN_BLOCKS = 1 << 20
 
 # zigzag scan order: index k of the scan -> (row, col) flat index
 _ZZ = np.array(

@@ -249,37 +249,73 @@ def _lookup_text_codec(label: str) -> str | None:
     return info.name
 
 
-_META_CHARSET_RE = None
+_SNIFF_RES = None
 
 
 def _sniff_html_charset(payload: bytes) -> str | None:
-    """Simplified HTML5 encoding prescan over the first 1024 bytes:
-    ``<meta charset=...>``, ``<meta http-equiv="Content-Type"
-    content="...; charset=...">`` (both match the charset= key), or an
-    XML declaration's encoding=. Real crawl servers very often omit
-    the header charset while the page declares it in markup -- without
-    this, every such non-UTF-8 page decodes as mojibake. Returns the
-    raw label (validated downstream) or None."""
-    global _META_CHARSET_RE
-    if _META_CHARSET_RE is None:
+    """HTML5-style encoding prescan over the first 1024 bytes.
+
+    Honors, in order: an XML declaration's encoding= AT THE START of
+    the document, then the first <meta> tag carrying either a
+    ``charset`` ATTRIBUTE or an ``http-equiv=content-type`` +
+    ``content="...charset=..."`` pair. Per the spec's prescan rules
+    (review r6 pass 4): comments are skipped, ``charset=`` inside
+    unrelated attribute values (<meta name=description
+    content="...charset=x...">) is NOT a declaration, and a sniffed
+    utf-16 family label means 'the author mislabeled an
+    ASCII-compatible document' -- the spec maps it to UTF-8. Returns
+    the label (validated downstream) or None."""
+    global _SNIFF_RES
+    if _SNIFF_RES is None:
         import re
 
-        _META_CHARSET_RE = (
+        _SNIFF_RES = (
+            re.compile(rb"<!--.*?(?:-->|$)", re.S),  # comments (or cut)
             re.compile(
-                rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9._-]+)",
+                rb"^(?:\xef\xbb\xbf)?\s*<\?xml[^>]{0,256}?"
+                rb"encoding\s*=\s*[\"']([a-zA-Z0-9._-]+)",
                 re.IGNORECASE,
             ),
+            re.compile(rb"<meta\b([^>]{0,512})", re.IGNORECASE),
             re.compile(
-                rb"<\?xml[^>]{0,256}?encoding\s*=\s*[\"']([a-zA-Z0-9._-]+)",
-                re.IGNORECASE,
+                rb"([a-zA-Z-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
+            ),
+            re.compile(
+                rb"charset\s*=\s*[\"']?\s*([a-zA-Z0-9._-]+)", re.IGNORECASE
             ),
         )
-    head = payload[:1024]
-    for rx in _META_CHARSET_RE:
-        m = rx.search(head)
-        if m:
-            return m.group(1).decode("ascii", errors="replace")
-    return None
+    comment_re, xml_re, meta_re, attr_re, cs_re = _SNIFF_RES
+    head = comment_re.sub(b"", payload[:1024])
+    label = None
+    m = xml_re.match(head)
+    if m:
+        label = m.group(1)
+    else:
+        for mt in meta_re.finditer(head):
+            attrs: dict[bytes, bytes] = {}
+            for am in attr_re.finditer(mt.group(1)):
+                val = am.group(2) or am.group(3) or am.group(4) or b""
+                attrs.setdefault(am.group(1).lower(), val)
+            if b"charset" in attrs and attrs[b"charset"]:
+                label = attrs[b"charset"]
+                break
+            if (
+                attrs.get(b"http-equiv", b"").lower() == b"content-type"
+                and b"content" in attrs
+            ):
+                cm = cs_re.search(attrs[b"content"])
+                if cm:
+                    label = cm.group(1)
+                    break
+    if label is None:
+        return None
+    text_label = label.decode("ascii", errors="replace")
+    name = _lookup_text_codec(text_label)
+    if name is not None and name.startswith("utf-16"):
+        # spec: a prescanned utf-16 label on bytes we are prescanning
+        # ASCII-compatibly cannot be right -- decode as UTF-8
+        return "utf-8"
+    return text_label
 
 
 def _norm_charset(label: str | None) -> str:
@@ -327,6 +363,7 @@ def _decode_http_response(body: bytes):
     content_encoding = "identity"
     payload = body
     err = None
+    ctype = ""
     if body[:5] in (b"HTTP/", b"http/"):
         sep = body.find(b"\r\n\r\n")
         if sep >= 0:
@@ -338,9 +375,8 @@ def _decode_http_response(body: bytes):
                         v.decode("latin-1").strip()
                     )
             payload = body[sep + 4 :]
-            charset_label = _charset_from_content_type(
-                hdrs.get("content-type", "")
-            )
+            ctype = hdrs.get("content-type", "").lower()
+            charset_label = _charset_from_content_type(ctype)
             te = [
                 t.split(";")[0].strip().lower()
                 for t in hdrs.get("transfer-encoding", "").split(",")
@@ -380,12 +416,20 @@ def _decode_http_response(body: bytes):
                 err = err or cerr2
     if payload is None:
         return None, _norm_charset(charset_label), content_encoding, err
-    if charset_label is None:
+    if charset_label is None or _lookup_text_codec(charset_label) is None:
         # precedence per the HTML spec: BOM (handled in _decode_charset)
-        # > Content-Type header > in-document meta prescan > UTF-8.
-        # Sniffed AFTER the transfer/content codings are undone -- the
-        # markup is only visible in the decompressed bytes
-        charset_label = _sniff_html_charset(payload)
+        # > VALID Content-Type header charset > in-document meta
+        # prescan > UTF-8. An unrecognized header label (utf8mb4 and
+        # friends) falls THROUGH to the prescan rather than suppressing
+        # it (review r6 pass 4), and the prescan only applies to
+        # markup media types (a text/plain or JS body merely containing
+        # '<meta charset=..' must not be re-decoded). Sniffed AFTER the
+        # transfer/content codings are undone -- the markup is only
+        # visible in the decompressed bytes
+        if ctype == "" or "html" in ctype or "xml" in ctype:
+            sniffed = _sniff_html_charset(payload)
+            if sniffed is not None:
+                charset_label = sniffed
     text, charset, cerr = _decode_charset(payload, charset_label)
     return text, charset, content_encoding, err or cerr
 
@@ -525,13 +569,14 @@ def read_span_docs_warc(
                                 status = f"http_decode_error:{herr}"
                     else:
                         # 'resource' records carry raw documents (often
-                        # HTML) -> meta prescan applies; 'conversion'
-                        # (WET) is EXTRACTED PLAIN TEXT -- a page whose
-                        # text merely mentions '<meta charset=..' must
-                        # not trigger a re-decode
+                        # HTML) -> meta prescan applies; every other
+                        # type ('conversion' = WET EXTRACTED PLAIN
+                        # TEXT, 'metadata', 'request', ...) must not be
+                        # re-decoded because its text merely mentions
+                        # '<meta charset=..' (review r6 pass 4)
                         label = (
                             _sniff_html_charset(body)
-                            if rtype != "conversion"
+                            if rtype == "resource"
                             else None
                         )
                         text, charset, cerr = _decode_charset(body, label)

@@ -252,7 +252,7 @@ def test_png_idat_bomb_and_ppm_negative_dims():
         )
 
     ihdr = _s.pack(">IIBBBBB", 1000, 1000, 8, 2, 0, 0, 0)
-    bomb_idat = _zlib.compress(b"\x00" * (512 << 20), 9)  # 512 MB -> ~0.5 MB
+    bomb_idat = _zlib.compress(b"\x00" * (8 << 20), 9)  # 8 MB >> expected ~3 MB
     png = (
         PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb_idat)
         + chunk(b"IEND", b"")

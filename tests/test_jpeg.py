@@ -596,14 +596,14 @@ def test_multiscan_block_memory_cap():
     ValueError instead of allocating GBs of int lists."""
     import struct as _s
 
-    # 5000x6500 = 32.5M px > pixel cap? No: use 5792x5792 ~ 33.5M --
-    # that trips the PIXEL cap first. Use 4096x4096x3 comps 4:4:4:
-    # 16.7M px passes MAX_IMAGE_PIXELS, but 3 * 512*512 blocks =
-    # 786k > 2^19 trips the block cap.
+    # 5000x5000x3 comps 4:4:4: 25M px passes MAX_IMAGE_PIXELS (2^25),
+    # but 3 * 625*625 blocks = 1.17M > 2^20 trips the block cap.
+    # (12 MP 4:4:4 -- 562k blocks -- must stay DECODABLE: the pass-4
+    # review rejected a 2^19 cap that censused real camera uploads.)
     sof = (
         b"\xff\xd8\xff\xc2"
         + _s.pack(">H", 17)  # 8 + 3*3
-        + bytes([8]) + _s.pack(">HH", 4096, 4096)
+        + bytes([8]) + _s.pack(">HH", 5000, 5000)
         + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
     )
     with pytest.raises(ValueError, match="memory envelope"):

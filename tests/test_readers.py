@@ -795,3 +795,60 @@ def test_meta_charset_prescan(spark, tmp_path):
     rows = read_span_docs_wet(spark, str(d), on_error="flag").collect()
     assert rows[0]["spans"][0]["text"] == wet_text
     assert rows[0]["charset"] == "utf-8"
+
+
+def test_meta_charset_prescan_spec_edges():
+    """Review r6 pass 4: the prescan must follow the HTML5 rules, not
+    a bare regex -- utf-16 labels map to UTF-8, charset= inside
+    unrelated attribute values and comments is NOT a declaration,
+    non-markup media types never sniff, and an invalid header label
+    falls through to the prescan instead of suppressing it."""
+    from parse_html_spark.sources.readers import _decode_http_response
+
+    # authoring-error '<meta charset=utf-16>' on ASCII bytes -> UTF-8
+    msg = b"HTTP/1.1 200 OK\r\n\r\n<meta charset=\"utf-16\">hello"
+    text, cs, _ce, err = _decode_http_response(msg)
+    assert "hello" in text and cs == "utf-8" and err is None
+
+    # charset= inside a description content is NOT a declaration
+    body = (
+        '<meta name="description" content="set charset=iso-8859-1 in php">'
+        "café"
+    ).encode("utf-8")
+    msg = b"HTTP/1.1 200 OK\r\n\r\n" + body
+    text, cs, _ce, _err = _decode_http_response(msg)
+    assert "café" in text and cs == "utf-8"
+
+    # commented-out meta is skipped
+    body = b'<!-- <meta charset="iso-8859-1"> -->caf\xc3\xa9'
+    text, cs, _ce, _err = _decode_http_response(
+        b"HTTP/1.1 200 OK\r\n\r\n" + body
+    )
+    assert "café" in text and cs == "utf-8"
+
+    # the http-equiv form still works through the attribute parser
+    body = (
+        b'<META HTTP-EQUIV="Content-Type" '
+        b'CONTENT="text/html; charset=ISO-8859-1">d\xe9j\xe0'
+    )
+    text, cs, _ce, _err = _decode_http_response(
+        b"HTTP/1.1 200 OK\r\n\r\n" + body
+    )
+    assert "déjà" in text and cs == "iso8859-1"
+
+    # text/plain bodies that merely CONTAIN the markup never sniff
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+        b"example: <meta charset=iso-8859-2> caf\xc3\xa9"
+    )
+    text, cs, _ce, _err = _decode_http_response(msg)
+    assert "café" in text and cs == "utf-8"
+
+    # invalid header label (utf8mb4) + valid meta -> meta wins
+    msg = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf8mb4\r\n\r\n"
+        b'<meta charset="ISO-8859-1">cr\xe8me'
+    )
+    text, cs, _ce, _err = _decode_http_response(msg)
+    assert "crème" in text and cs == "iso8859-1"
