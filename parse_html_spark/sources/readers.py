@@ -249,71 +249,170 @@ def _lookup_text_codec(label: str) -> str | None:
     return info.name
 
 
-_SNIFF_RES = None
+_WS = b"\t\n\x0c\r "
+_XMLDECL_RE = None
+
+
+def _prescan_get_attr(head: bytes, i: int):
+    """The WHATWG prescan's 'get an attribute' step: returns
+    (name or None, value, next position). Quoted values consume '>'
+    and embedded markup-looking text; '=' may be space-separated from
+    the name; names/values are lowercased."""
+    n = len(head)
+    while i < n and head[i] in b"\t\n\x0c\r /":
+        i += 1
+    if i >= n or head[i] == 0x3E:  # '>'
+        return None, b"", i
+    name = bytearray()
+    while i < n:
+        c = head[i]
+        if c == 0x3D and name:  # '='
+            i += 1
+            break
+        if c in _WS:
+            while i < n and head[i] in _WS:
+                i += 1
+            if i < n and head[i] == 0x3D:
+                i += 1
+                break
+            return bytes(name), b"", i
+        if c in b"/>":
+            return bytes(name), b"", i
+        name.append(c | 0x20 if 0x41 <= c <= 0x5A else c)
+        i += 1
+    else:
+        return bytes(name), b"", i
+    # attribute value
+    while i < n and head[i] in _WS:
+        i += 1
+    if i < n and head[i] in b"\"'":
+        q = head[i]
+        i += 1
+        j = head.find(bytes((q,)), i)
+        if j < 0:  # unmatched quote: prescan runs off the head
+            return bytes(name), b"", n
+        return bytes(name), head[i:j].lower(), j + 1
+    start = i
+    while i < n and head[i] not in b"\t\n\x0c\r >":
+        i += 1
+    return bytes(name), head[start:i].lower(), i
 
 
 def _sniff_html_charset(payload: bytes) -> str | None:
-    """HTML5-style encoding prescan over the first 1024 bytes.
-
-    Honors, in order: an XML declaration's encoding= AT THE START of
-    the document, then the first <meta> tag carrying either a
-    ``charset`` ATTRIBUTE or an ``http-equiv=content-type`` +
-    ``content="...charset=..."`` pair. Per the spec's prescan rules
-    (review r6 pass 4): comments are skipped, ``charset=`` inside
-    unrelated attribute values (<meta name=description
-    content="...charset=x...">) is NOT a declaration, and a sniffed
-    utf-16 family label means 'the author mislabeled an
-    ASCII-compatible document' -- the spec maps it to UTF-8. Returns
-    the label (validated downstream) or None."""
-    global _SNIFF_RES
-    if _SNIFF_RES is None:
+    """Encoding declaration from the first 1024 bytes: an XML
+    declaration's encoding= at the very start, else the WHATWG
+    'prescan a byte stream to determine its encoding' algorithm
+    (HTML spec 13.2.3.2) -- a byte walker, NOT a regex: quoted
+    attribute values consume '>' and charset-mentioning text, comments
+    (including the <!--> short form) close at the first '--&gt;' whose
+    dashes may be the opener's, an unresolvable declaration continues
+    the scan to later <meta> tags, pragma (http-equiv) declarations
+    require the pragma, and a sniffed utf-16 family label on bytes
+    being prescanned ASCII-compatibly maps to UTF-8 (review r6
+    passes 4-5 against regex approximations). Real crawl servers very
+    often omit the header charset while the page declares it in
+    markup -- without this, every such non-UTF-8 page decodes as
+    mojibake. Returns the label (validated downstream) or None."""
+    global _XMLDECL_RE
+    if _XMLDECL_RE is None:
         import re
 
-        _SNIFF_RES = (
-            re.compile(rb"<!--.*?(?:-->|$)", re.S),  # comments (or cut)
-            re.compile(
-                rb"^(?:\xef\xbb\xbf)?\s*<\?xml[^>]{0,256}?"
-                rb"encoding\s*=\s*[\"']([a-zA-Z0-9._-]+)",
-                re.IGNORECASE,
-            ),
-            re.compile(rb"<meta\b([^>]{0,512})", re.IGNORECASE),
-            re.compile(
-                rb"([a-zA-Z-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
-            ),
-            re.compile(
-                rb"charset\s*=\s*[\"']?\s*([a-zA-Z0-9._-]+)", re.IGNORECASE
-            ),
+        _XMLDECL_RE = re.compile(
+            rb"^(?:\xef\xbb\xbf)?\s*<\?xml[^>]{0,256}?"
+            rb"encoding\s*=\s*[\"']([a-zA-Z0-9._-]+)",
+            re.IGNORECASE,
         )
-    comment_re, xml_re, meta_re, attr_re, cs_re = _SNIFF_RES
-    head = comment_re.sub(b"", payload[:1024])
-    label = None
-    m = xml_re.match(head)
+    head = payload[:1024]
+    n = len(head)
+    m = _XMLDECL_RE.match(head)
     if m:
-        label = m.group(1)
-    else:
-        for mt in meta_re.finditer(head):
-            attrs: dict[bytes, bytes] = {}
-            for am in attr_re.finditer(mt.group(1)):
-                val = am.group(2) or am.group(3) or am.group(4) or b""
-                attrs.setdefault(am.group(1).lower(), val)
-            if b"charset" in attrs and attrs[b"charset"]:
-                label = attrs[b"charset"]
-                break
-            if (
-                attrs.get(b"http-equiv", b"").lower() == b"content-type"
-                and b"content" in attrs
-            ):
-                cm = cs_re.search(attrs[b"content"])
-                if cm:
-                    label = cm.group(1)
+        return _prescan_resolve(m.group(1))
+    pos = 0
+    while pos < n:
+        if head.startswith(b"<!--", pos):
+            # close = first '>' preceded by '--'; the opener's dashes
+            # count, so '<!-->' and '<!--->' are complete comments
+            j = head.find(b"-->", pos + 2)
+            if j < 0:
+                return None
+            pos = j + 3
+            continue
+        if head[pos] != 0x3C or pos + 1 >= n:  # '<'
+            pos += 1
+            continue
+        nxt = head[pos + 1]
+        if (
+            head[pos : pos + 5].lower() == b"<meta"
+            and pos + 5 < n
+            and head[pos + 5] in b"\t\n\x0c\r /"
+        ):
+            i = pos + 5
+            seen: set[bytes] = set()
+            got_pragma = False
+            need_pragma: bool | None = None
+            charset: bytes | None = None
+            while True:
+                nm, val, i = _prescan_get_attr(head, i)
+                if nm is None:
                     break
-    if label is None:
-        return None
-    text_label = label.decode("ascii", errors="replace")
+                if nm in seen:
+                    continue
+                seen.add(nm)
+                if nm == b"http-equiv" and val == b"content-type":
+                    got_pragma = True
+                elif nm == b"charset":
+                    charset = val
+                    need_pragma = False
+                elif nm == b"content" and charset is None:
+                    lbl = _charset_from_content_type(
+                        val.decode("latin-1")
+                    )
+                    if lbl is not None:
+                        charset = lbl.encode("latin-1")
+                        need_pragma = True
+            if (
+                need_pragma is not None
+                and (need_pragma is False or got_pragma)
+                and charset
+            ):
+                resolved = _prescan_resolve(charset)
+                if resolved is not None:
+                    return resolved
+                # unresolvable label: the spec continues the prescan
+            pos = i + 1 if i < n else n
+            continue
+        low = nxt | 0x20
+        if 0x61 <= low <= 0x7A or (
+            nxt == 0x2F
+            and pos + 2 < n
+            and 0x61 <= (head[pos + 2] | 0x20) <= 0x7A
+        ):
+            # any other tag (open or close): walk its attributes so
+            # quoted values are consumed, then continue after it
+            i = pos + (2 if nxt == 0x2F else 1)
+            while i < n and head[i] not in b"\t\n\x0c\r >":
+                i += 1
+            while True:
+                nm, _val, i = _prescan_get_attr(head, i)
+                if nm is None:
+                    break
+            pos = i + 1 if i < n else n
+            continue
+        if nxt in b"!/?":
+            j = head.find(b">", pos + 1)
+            pos = n if j < 0 else j + 1
+            continue
+        pos += 1
+    return None
+
+
+def _prescan_resolve(label: bytes) -> str | None:
+    """Validate a prescanned label; utf-16 family -> utf-8 (spec)."""
+    text_label = label.decode("ascii", errors="replace").strip()
     name = _lookup_text_codec(text_label)
-    if name is not None and name.startswith("utf-16"):
-        # spec: a prescanned utf-16 label on bytes we are prescanning
-        # ASCII-compatibly cannot be right -- decode as UTF-8
+    if name is None:
+        return None
+    if name.startswith("utf-16"):
         return "utf-8"
     return text_label
 

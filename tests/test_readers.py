@@ -777,11 +777,12 @@ def test_meta_charset_prescan(spark, tmp_path):
     text, cs, _ce, _err = _decode_http_response(msg6)
     assert "caf\xe9" in text and cs == "iso8859-1"
 
-    # unknown meta label: annotated fallback, not a crash
+    # unresolvable meta label: the spec prescan CONTINUES (and finds
+    # nothing here), so the page decodes utf-8 with no annotation --
+    # only a bogus HEADER label earns the unknown_charset status
     msg7 = b"HTTP/1.1 200 OK\r\n\r\n<meta charset=x-martian>body"
     text, cs, _ce, err = _decode_http_response(msg7)
-    assert text.endswith("body") and cs == "utf-8"
-    assert err and "unknown charset" in err
+    assert text.endswith("body") and cs == "utf-8" and err is None
 
     # WET conversion text mentioning a meta tag stays UTF-8 verbatim
     d = tmp_path / "wet"
@@ -852,3 +853,100 @@ def test_meta_charset_prescan_spec_edges():
     )
     text, cs, _ce, _err = _decode_http_response(msg)
     assert "crème" in text and cs == "iso8859-1"
+
+
+def test_meta_charset_prescan_byte_walker():
+    """Review r6 pass 5: the prescan is the WHATWG byte walker, not a
+    regex -- quoted values consume '>' and markup-looking text, the
+    <!--> short comment closes, unresolvable declarations continue to
+    later metas, spaced '=' works, and content-without-pragma is not
+    a declaration."""
+    from parse_html_spark.sources.readers import (
+        _decode_http_response,
+        _sniff_html_charset,
+    )
+
+    # '>' inside a quoted content value does not truncate the tag, and
+    # the charset-looking TEXT inside it is not a declaration
+    body = (
+        b'<meta name=desc content="see <meta charset=iso-8859-1> ex">'
+        b"caf\xc3\xa9"
+    )
+    text, cs, _ce, _err = _decode_http_response(
+        b"HTTP/1.1 200 OK\r\n\r\n" + body
+    )
+    assert "café" in text and cs == "utf-8"
+
+    # a real charset attribute AFTER a quoted value containing '>'
+    body = b'<meta name=desc content="a > b" charset="iso-8859-1">cr\xe8me'
+    text, cs, _ce, _err = _decode_http_response(
+        b"HTTP/1.1 200 OK\r\n\r\n" + body
+    )
+    assert "crème" in text and cs == "iso8859-1"
+
+    # <!--> is a COMPLETE comment: the following meta is honored
+    body = b'<!--> <meta charset="iso-8859-1">d\xe9j\xe0'
+    text, cs, _ce, _err = _decode_http_response(
+        b"HTTP/1.1 200 OK\r\n\r\n" + body
+    )
+    assert "déjà" in text and cs == "iso8859-1"
+
+    # unresolvable first declaration: scan continues to the next meta
+    body = b'<meta charset="x-bogus"><meta charset="iso-8859-1">caf\xe9'
+    text, cs, _ce, err = _decode_http_response(
+        b"HTTP/1.1 200 OK\r\n\r\n" + body
+    )
+    assert "café" in text and cs == "iso8859-1" and err is None
+
+    # attribute names with digits keep their quoted values opaque
+    assert (
+        _sniff_html_charset(b'<meta data-x1="charset=iso-8859-5" name=d>')
+        is None
+    )
+
+    # spaced '=' (real-world authoring)
+    assert _sniff_html_charset(b'<meta charset = "iso-8859-1">') == (
+        "iso-8859-1"
+    )
+
+    # content charset WITHOUT the http-equiv pragma is not honored
+    assert (
+        _sniff_html_charset(
+            b'<meta content="text/html; charset=iso-8859-1">'
+        )
+        is None
+    )
+
+    # charset text hiding in an UNRELATED tag's quoted attribute
+    assert (
+        _sniff_html_charset(
+            b'<a title="use <meta charset=koi8-r> kids">x</a>'
+        )
+        is None
+    )
+
+
+def test_prescan_never_raises_fuzz():
+    """The prescan byte walker returns (str | None) on arbitrary bytes
+    -- grammar-fragment soup and pure noise alike."""
+    import random
+
+    from parse_html_spark.sources.readers import _sniff_html_charset
+
+    rng = random.Random(3)
+    frags = [
+        b"<meta ", b"charset", b'="', b"='", b">", b"<!--", b"-->",
+        b"<a ", b"</", b"<?", b"content-type", b"http-equiv", b" ",
+        b"=", b'"', b"'", b"iso-8859-1", b"\x00\xff", b"utf-16",
+    ]
+    for i in range(5000):
+        if i % 3 == 0:
+            blob = b"".join(
+                rng.choice(frags) for _ in range(rng.randrange(0, 40))
+            )
+        else:
+            blob = bytes(
+                rng.randrange(256) for _ in range(rng.randrange(0, 200))
+            )
+        r = _sniff_html_charset(blob)
+        assert r is None or isinstance(r, str)
