@@ -289,8 +289,11 @@ def _prescan_get_attr(head: bytes, i: int):
         q = head[i]
         i += 1
         j = head.find(bytes((q,)), i)
-        if j < 0:  # unmatched quote: prescan runs off the head
-            return bytes(name), b"", n
+        if j < 0:
+            # unmatched quote: the spec's get-an-attribute reads past
+            # the end of input, which ABORTS the whole prescan (value
+            # None signals the walker to give up -- review r6 pass 6)
+            return bytes(name), None, n
         return bytes(name), head[i:j].lower(), j + 1
     start = i
     while i < n and head[i] not in b"\t\n\x0c\r >":
@@ -318,15 +321,32 @@ def _sniff_html_charset(payload: bytes) -> str | None:
         import re
 
         _XMLDECL_RE = re.compile(
-            rb"^(?:\xef\xbb\xbf)?\s*<\?xml[^>]{0,256}?"
+            rb"<\?xml[^>]{0,256}?"
             rb"encoding\s*=\s*[\"']([a-zA-Z0-9._-]+)",
             re.IGNORECASE,
         )
     head = payload[:1024]
     n = len(head)
-    m = _XMLDECL_RE.match(head)
+    # XML declaration: allowed after a BOM, whitespace, and leading
+    # comments (review r6 pass 6 -- the pre-rewrite behavior); an
+    # unresolvable declared encoding falls THROUGH to the meta prescan
+    # rather than ending the sniff
+    p = 3 if head.startswith(b"\xef\xbb\xbf") else 0
+    while True:
+        while p < n and head[p] in _WS:
+            p += 1
+        if head.startswith(b"<!--", p):
+            j = head.find(b"-->", p + 2)
+            if j < 0:
+                return None
+            p = j + 3
+            continue
+        break
+    m = _XMLDECL_RE.match(head, p)
     if m:
-        return _prescan_resolve(m.group(1))
+        resolved = _prescan_resolve(m.group(1))
+        if resolved is not None:
+            return resolved
     pos = 0
     while pos < n:
         if head.startswith(b"<!--", pos):
@@ -355,6 +375,8 @@ def _sniff_html_charset(payload: bytes) -> str | None:
                 nm, val, i = _prescan_get_attr(head, i)
                 if nm is None:
                     break
+                if val is None:
+                    return None  # ran off the head: spec aborts
                 if nm in seen:
                     continue
                 seen.add(nm)
@@ -396,6 +418,8 @@ def _sniff_html_charset(payload: bytes) -> str | None:
                 nm, _val, i = _prescan_get_attr(head, i)
                 if nm is None:
                     break
+                if _val is None:
+                    return None  # ran off the head: spec aborts
             pos = i + 1 if i < n else n
             continue
         if nxt in b"!/?":

@@ -950,3 +950,27 @@ def test_prescan_never_raises_fuzz():
             )
         r = _sniff_html_charset(blob)
         assert r is None or isinstance(r, str)
+
+
+def test_prescan_pass6_edges():
+    """Review r6 pass 6: bogus XML-declaration encodings fall through
+    to the meta prescan; comments may precede the XML declaration;
+    a head cut mid-quoted-attribute aborts the prescan (spec/browser
+    behavior -- the attribute reader ran off the input)."""
+    from parse_html_spark.sources.readers import _sniff_html_charset
+
+    assert _sniff_html_charset(
+        b'<?xml version="1.0" encoding="x-bogus"?>'
+        b'<meta charset="iso-8859-1">'
+    ) == "iso-8859-1"
+    assert _sniff_html_charset(
+        b'<!--c--> <?xml version="1.0" encoding="iso-8859-1"?>'
+    ) == "iso-8859-1"
+    assert _sniff_html_charset(
+        b'\xef\xbb\xbf<?xml version="1.0" encoding="iso-8859-1"?>'
+    ) == "iso-8859-1"
+    assert _sniff_html_charset(b'<meta charset=iso-8859-5 x="unclosed') is None
+    assert (
+        _sniff_html_charset(b'<div class="unclosed <meta charset=koi8-r>')
+        is None
+    )
