@@ -153,3 +153,80 @@ def test_ref_compat_direct_child_is_superset(tree, outer, inner):
                 if d.tag[j] == inner and d.start[ch] <= d.start[j] < d.end[ch]:
                     want.add(j)
     assert compat == want
+
+
+@settings(max_examples=120, deadline=None)
+@given(html_tree())
+def test_docindex_twin_consistency(tree):
+    """Round 6: the tokenizer keeps list + numpy TWINS of every node
+    array plus pre-classified anchor/media/boilerplate ids -- the
+    scalar hot paths read the lists, the vectorized paths the arrays,
+    so any drift between them is silent wrong answers. Pin: twins are
+    element-equal and the classifications match recomputing from tags."""
+    from parse_html_spark.tokenizer import BOILER_TAGS, MEDIA_TAGS
+
+    html, _ = tree
+    d = DocIndex(html)
+    assert d.start.tolist() == d.start_l
+    assert d.end.tolist() == d.end_l
+    assert d.cstart.tolist() == d.cstart_l
+    assert d.cend.tolist() == d.cend_l
+    assert d.parent.tolist() == d.parent_l
+    assert d.tstart.tolist() == d.tstart_l
+    assert d.tend.tolist() == d.tend_l
+    assert d.a_ids == [i for i, t in enumerate(d.tag) if t == "a"]
+    assert d.media_ids == [
+        i for i, t in enumerate(d.tag) if t in MEDIA_TAGS
+    ]
+    assert d.boiler_l == [t in BOILER_TAGS for t in d.tag]
+    # text regions are disjoint, ordered, and non-empty
+    for k in range(len(d.tstart_l)):
+        assert d.tstart_l[k] < d.tend_l[k]
+        if k:
+            assert d.tstart_l[k] >= d.tend_l[k - 1]
+
+
+def test_docindex_twin_consistency_on_soup():
+    """Same twin/classification pins over adversarial soup (junk
+    closers, orphan tags, anchors/media/boiler tags, stray '<')."""
+    import random
+
+    from parse_html_spark.tokenizer import BOILER_TAGS, MEDIA_TAGS
+
+    rng = random.Random(77)
+    tags = ["div", "p", "a", "span", "nav", "footer", "img", "form",
+            "table", "custom", "br", "embed"]
+    for _ in range(400):
+        parts = []
+        for _ in range(rng.randrange(1, 50)):
+            r = rng.random()
+            t = rng.choice(tags)
+            if r < 0.35:
+                extra = ' href="/x"' if t == "a" else (
+                    ' src="s.png"' if t in ("img", "embed") else ""
+                )
+                parts.append(f"<{t}{extra}>")
+            elif r < 0.6:
+                parts.append(f"</{rng.choice(tags)}>")
+            elif r < 0.9:
+                parts.append(" ".join(
+                    f"w{rng.randrange(50)}"
+                    for _ in range(rng.randrange(1, 8))
+                ))
+            else:
+                parts.append(rng.choice(
+                    ["<!-- c -->", "<3", "< b", "<div", "</div >", "\t\n"]
+                ))
+        d = DocIndex("".join(parts))
+        assert d.start.tolist() == d.start_l
+        assert d.end.tolist() == d.end_l
+        assert d.cstart.tolist() == d.cstart_l
+        assert d.cend.tolist() == d.cend_l
+        assert d.parent.tolist() == d.parent_l
+        assert d.tstart.tolist() == d.tstart_l
+        assert d.tend.tolist() == d.tend_l
+        assert d.a_ids == [i for i, t in enumerate(d.tag) if t == "a"]
+        assert d.media_ids == [
+            i for i, t in enumerate(d.tag) if t in MEDIA_TAGS
+        ]
+        assert d.boiler_l == [t in BOILER_TAGS for t in d.tag]
