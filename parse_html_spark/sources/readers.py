@@ -466,6 +466,25 @@ def _charset_from_content_type(ctype: str) -> str | None:
     return m.group(1) if m else None
 
 
+def _http_status(body: bytes) -> int | None:
+    """HTTP status code from a response record's status line, or None
+    when there is no parsable envelope. Real crawls are full of
+    404/301/5xx bodies; without this column they are indistinguishable
+    from content documents, silently polluting a training corpus with
+    error pages (filter http_status = 200 for the content set)."""
+    if body[:5] not in (b"HTTP/", b"http/"):
+        return None
+    eol = body.find(b"\r\n")
+    parts = body[: eol if eol >= 0 else 64].split(b" ", 2)
+    if len(parts) < 2:
+        return None
+    try:
+        code = int(parts[1])
+    except ValueError:
+        return None
+    return code if 100 <= code <= 599 else None
+
+
 def _decode_http_response(body: bytes):
     """Decode a WARC 'response' record's HTTP message into text.
 
@@ -581,7 +600,11 @@ def read_span_docs_warc(
     br) into a ValueError (fail fast -- right for curated inputs);
     'flag' degrades GRACEFULLY for crawl-scale mixed corpora: records
     parsed before the corruption point are still yielded, the schema
-    gains ``status``/``charset``/``content_encoding`` columns (status:
+    gains ``status``/``charset``/``content_encoding``/``http_status``
+    columns (http_status: the response status-line code, NULL for
+    non-response records or unparsable status lines -- filter
+    ``http_status = 200`` to keep error/redirect bodies out of a
+    training corpus; status:
     'ok', 'truncated_record:<declared>/<got>',
     'bad_content_length:<raw>', 'http_decode_error:<reason>' with the
     partially-decoded text or zero spans -- NEVER the raw compressed
@@ -621,9 +644,16 @@ def read_span_docs_warc(
     def run(batches):
         for pdf in batches:
             ids, spans, nchars, statuses = [], [], [], []
-            charsets, encodings = [], []
+            charsets, encodings, http_statuses = [], [], []
 
-            def emit(doc_id, text, status, charset="utf-8", encoding="identity"):
+            def emit(
+                doc_id,
+                text,
+                status,
+                charset="utf-8",
+                encoding="identity",
+                http_status=None,
+            ):
                 ids.append(doc_id)
                 spans.append(
                     [
@@ -641,6 +671,7 @@ def read_span_docs_warc(
                 statuses.append(status)
                 charsets.append(charset)
                 encodings.append(encoding)
+                http_statuses.append(http_status)
 
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
@@ -675,7 +706,9 @@ def read_span_docs_warc(
                     # (envelope + transfer/content encodings + charset);
                     # decoding others that way would corrupt e.g. WET
                     # text that happens to begin with 'HTTP/'
+                    hstat = None
                     if rtype == "response":
+                        hstat = _http_status(body)
                         text, charset, cenc, herr = _decode_http_response(body)
                         if herr is not None and status == "ok":
                             # record-level truncation (above) outranks:
@@ -706,7 +739,7 @@ def read_span_docs_warc(
                         cenc = "identity"
                         if cerr is not None and status == "ok":
                             status = f"unknown_charset:{cerr}"
-                    emit(f"{uri}#{off}", text, status, charset, cenc)
+                    emit(f"{uri}#{off}", text, status, charset, cenc, hstat)
                 if flag and arch_err is None and "truncated_header" in split_status:
                     # archive cut mid-WARC-header: the partial record
                     # vanishes from the record stream, so without this
@@ -757,10 +790,12 @@ def read_span_docs_warc(
                 out["status"] = statuses
                 out["charset"] = charsets
                 out["content_encoding"] = encodings
+                out["http_status"] = pd.array(http_statuses, dtype="Int32")
             yield pd.DataFrame(out)
 
     schema = SPAN_DOC_SCHEMA + (
         ", status string, charset string, content_encoding string"
+        ", http_status int"
         if flag
         else ""
     )
@@ -826,6 +861,8 @@ def _http_wrap(
     content_encoding: str | None = None,
     chunked: bool = False,
     chunk_size: int = 16,
+    status: int = 200,
+    reason: str = "OK",
 ) -> bytes:
     """Build an HTTP/1.1 response message for fixtures: optional
     charset parameter on Content-Type, optional gzip/deflate/raw
@@ -834,7 +871,10 @@ def _http_wrap(
     import gzip as _gzip
 
     ctype = content_type + (f"; charset={charset}" if charset else "")
-    hdrs = [b"HTTP/1.1 200 OK", b"Content-Type: " + ctype.encode("latin-1")]
+    hdrs = [
+        f"HTTP/1.1 {status} {reason}".encode("latin-1"),
+        b"Content-Type: " + ctype.encode("latin-1"),
+    ]
     body = payload
     if content_encoding:
         if content_encoding in ("gzip", "x-gzip"):

@@ -239,7 +239,7 @@ def test_warc_flag_mode_clean_archive_all_ok(spark, tmp_path):
         sorted(
             repr(r)
             for r in flagged.drop(
-                "status", "charset", "content_encoding"
+                "status", "charset", "content_encoding", "http_status"
             ).collect()
         )
         == plain
@@ -974,3 +974,53 @@ def test_prescan_pass6_edges():
         _sniff_html_charset(b'<div class="unclosed <meta charset=koi8-r>')
         is None
     )
+
+
+def test_http_status_column(spark, tmp_path):
+    """flag mode exposes the response status-line code: 404/301 error
+    bodies become filterable instead of polluting the content set;
+    non-response records and unparsable status lines yield NULL."""
+    from parse_html_spark.sources.readers import read_span_docs_warc
+
+    d = tmp_path / "codes"
+    d.mkdir()
+    pages = [
+        ("http://c/ok", b"content page", {}),
+        ("http://c/nf", b"not found page", {"status": 404, "reason": "Not Found"}),
+        ("http://c/mv", b"moved", {"status": 301, "reason": "Moved"}),
+    ]
+    write_warc(str(d / "c.warc"), pages)
+    # a response whose status line is garbage
+    body = b"HTTP/1.1 banana\r\n\r\nweird but text"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://c/weird\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+    )
+    with open(d / "c.warc", "ab") as fh:
+        fh.write(rec)
+    rows = {
+        r["doc_id"].split("#")[0]: r
+        for r in read_span_docs_warc(spark, str(d), on_error="flag").collect()
+    }
+    assert rows["http://c/ok"]["http_status"] == 200
+    assert rows["http://c/nf"]["http_status"] == 404
+    assert rows["http://c/mv"]["http_status"] == 301
+    assert rows["http://c/weird"]["http_status"] is None
+    assert rows["http://c/weird"]["spans"][0]["text"] == "weird but text"
+    # all bodies still ingest (the reader is faithful; the FILTER is
+    # the operator's choice)
+    assert rows["http://c/nf"]["spans"][0]["text"] == "not found page"
+    # WET conversion records: NULL status
+    from parse_html_spark.sources.readers import read_span_docs_wet
+
+    d2 = tmp_path / "wet"
+    d2.mkdir()
+    write_warc(
+        str(d2 / "w.warc.wet"),
+        [("http://w/1", b"plain")],
+        record_type="conversion",
+    )
+    wr = read_span_docs_wet(spark, str(d2), on_error="flag").collect()
+    assert wr[0]["http_status"] is None
