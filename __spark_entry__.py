@@ -1088,7 +1088,9 @@ def _q_charset_census(spark, sf_dir):
     Content-Encoding / 2: chunked / 3: ISO-8859-1 / 4: an UNKNOWN
     charset label ('x-martian', decoded via the utf-8 fallback and
     annotated) -- plus one hand-built Brotli-labeled record the stack
-    cannot decode (http_decode_error, zero chars). The
+    cannot decode (http_decode_error, zero chars) and one UNDECLARED
+    cp1251 record (round 7: undeclared_nonutf8 annotation -- the
+    legacy-charset tail is census-visible, not silent mojibake). The
     (charset, content_encoding, status_class) rollup is then exact
     modular arithmetic in SQL: mojibake risk as one queryable table."""
     import gzip
@@ -1129,8 +1131,23 @@ def _q_charset_census(spark, sf_dir):
         b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
         + body + b"\r\n\r\n"
     )
+    # one UNDECLARED legacy-charset record (round 7): cp1251 bytes, no
+    # BOM, no header charset, no meta declaration -- the utf-8-replace
+    # fallback decodes 20 bytes to 20 chars (11 of them U+FFFD) and the
+    # census must show it as undeclared_nonutf8, not clean 'ok'
+    cp_payload = "привет мир из cp1251".encode("cp1251")
+    cp_body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + cp_payload
+    )
+    cp_rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://cs/cp1251\r\n"
+        b"Content-Length: " + str(len(cp_body)).encode() + b"\r\n\r\n"
+        + cp_body + b"\r\n\r\n"
+    )
     with open(path, "ab") as fh:
         fh.write(gzip.compress(rec))
+        fh.write(gzip.compress(cp_rec))
     docs = read_span_docs_warc(spark, d, on_error="flag")
     return warc_charset_census(docs)
 
@@ -1746,6 +1763,8 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'utf-8', 'identity', 'ok', "
             "CAST(count(*) AS BIGINT), CAST(sum(length(text)) AS BIGINT) "
             "FROM documents WHERE doc_id % 5 IN (0, 2) "
+            "UNION ALL SELECT 'utf-8', 'identity', 'undeclared_nonutf8', "
+            "CAST(1 AS BIGINT), CAST(20 AS BIGINT) "
             "UNION ALL SELECT 'utf-8', 'identity', 'unknown_charset', "
             "CAST(count(*) AS BIGINT), CAST(sum(length(text)) AS BIGINT) "
             "FROM documents WHERE doc_id % 5 = 4"

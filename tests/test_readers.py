@@ -1024,3 +1024,347 @@ def test_http_status_column(spark, tmp_path):
     )
     wr = read_span_docs_wet(spark, str(d2), on_error="flag").collect()
     assert wr[0]["http_status"] is None
+
+
+def test_dechunk_rejects_nonstrict_hex():
+    """ADVICE r6 (high): int(tok, 16) also parses '-2db', '+5', '0x2',
+    '1_0' -- a NEGATIVE size walked pos backward and bytes.find wrapped
+    it to 0, re-parsing the same chunk-size line forever (verified
+    infinite loop). Strict HEXDIG-only tokens now; everything else is
+    the existing 'bad chunk size' degrade."""
+    from parse_html_spark.sources.readers import _dechunk
+
+    # the exact fuzz repro from the advisory -- must terminate
+    out, err = _dechunk(b"-2db\r\n5+\nff+x+;-d9ee76\n\r6418")
+    assert "bad chunk size" in err
+    for bad in (b"-5\r\nhello\r\n0\r\n\r\n", b"+5\r\nhello\r\n0\r\n\r\n",
+                b"0x5\r\nhello\r\n0\r\n\r\n", b"1_0\r\nhello\r\n0\r\n\r\n",
+                b"\r\nhello\r\n0\r\n\r\n"):
+        out, err = _dechunk(bad)
+        assert out == b"" and "bad chunk size" in err, bad
+    # strict hex still fine, upper/lower
+    assert _dechunk(b"A\r\n0123456789\r\n0\r\n\r\n") == (b"0123456789", None)
+
+
+def test_http_decompression_bomb_capped():
+    """ADVICE r6 (medium): a 255 KB gzip body expanding to 256 MB must
+    census as undecodable, never MemoryError an executor -- same
+    contract as the PNG/JPEG/GIF pixel ceilings."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from parse_html_spark.sources.readers import (
+        _MAX_HTTP_DECODED,
+        _decode_http_response,
+        _decompress_http,
+    )
+
+    bomb_plain = b"\x00" * (_MAX_HTTP_DECODED + (1 << 20))
+    gz_bomb = _gzip.compress(bomb_plain)
+    assert len(gz_bomb) < 1 << 20  # it IS a bomb
+    out, err = _decompress_http(gz_bomb, "gzip")
+    assert out is None and "exceeds cap" in err
+    out, err = _decompress_http(_zlib.compress(bomb_plain), "deflate")
+    assert out is None and "exceeds cap" in err
+    # raw-deflate bomb (the zlib parse errors, raw path must also cap)
+    out, err = _decompress_http(
+        _zlib.compress(bomb_plain)[2:-4], "deflate"
+    )
+    assert out is None and "exceeds cap" in err
+    # under-cap payloads are untouched
+    ok = _gzip.compress(b"small body")
+    assert _decompress_http(ok, "gzip") == (b"small body", None)
+    # through the full response path: censuses as http_decode_error
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + gz_bomb
+    )
+    text, cs, ce, herr = _decode_http_response(msg)
+    assert text is None and "exceeds cap" in herr
+
+
+def test_content_encoding_comma_list():
+    """ADVICE r6 (low): 'gzip, identity' / 'identity, gzip' are
+    RFC-legal coding lists -- split and applied in reverse, mirroring
+    the transfer-coding loop, instead of dropping a decodable body."""
+    import gzip as _gzip
+
+    from parse_html_spark.sources.readers import _decode_http_response
+
+    payload = b"listed coding body"
+    for ce in (b"gzip, identity", b"identity, gzip", b" Gzip , Identity "):
+        # identity is a no-op wherever it sits in the list: the wire
+        # bytes are gzip for all three labelings
+        wire = _gzip.compress(payload)
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            b"Content-Encoding: " + ce + b"\r\n\r\n" + wire
+        )
+        text, cs, cenc, err = _decode_http_response(msg)
+        assert (text, err) == ("listed coding body", None), ce
+    # census column keeps the raw normalized list string
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: gzip, identity\r\n\r\n" + _gzip.compress(payload)
+    )
+    _t, _c, cenc, _e = _decode_http_response(msg)
+    assert cenc == "gzip, identity"
+    # an unsupported member of the list still flags
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: br, gzip\r\n\r\n" + _gzip.compress(payload)
+    )
+    text, _c, _ce, err = _decode_http_response(msg)
+    assert text is None and "unsupported content-encoding 'br'" in err
+
+
+def test_external_decoder_hook():
+    """VERDICT r6 #3: decoders={'br': fn} plugs an external
+    decompressor in (brotli is not in the stdlib); a raising hook or
+    non-bytes return degrades to census buckets; the hookless path is
+    byte-identical to before (still http_decode_error)."""
+    import zlib as _zlib
+
+    from parse_html_spark.sources.readers import _decode_http_response
+
+    payload = "brotli-ish body caf\xe9".encode("utf-8")
+    wire = _zlib.compress(payload)  # stand-in wire format for the test
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br\r\n\r\n" + wire
+    )
+    # no hook: unchanged behavior
+    text, _c, ce, err = _decode_http_response(msg)
+    assert text is None and "unsupported content-encoding 'br'" in err
+    assert ce == "br"
+    # hook provided: body recovered, charset layer still runs
+    text, cs, ce, err = _decode_http_response(
+        msg, decoders={"br": _zlib.decompress}
+    )
+    assert (text, cs, ce, err) == ("brotli-ish body café", "utf-8", "br", None)
+
+    def boom(_b):
+        raise RuntimeError("wheel exploded")
+
+    text, _c, _ce, err = _decode_http_response(msg, decoders={"br": boom})
+    assert text is None and "external decoder: wheel exploded" in err
+    text, _c, _ce, err = _decode_http_response(
+        msg, decoders={"br": lambda b: "not bytes"}
+    )
+    assert text is None and "not bytes" in err
+    # over-cap hook output is still bomb-capped
+    from parse_html_spark.sources.readers import _MAX_HTTP_DECODED
+
+    text, _c, _ce, err = _decode_http_response(
+        msg, decoders={"br": lambda b: b"\x00" * (_MAX_HTTP_DECODED + 1)}
+    )
+    assert text is None and "exceeds cap" in err
+
+
+def test_external_decoder_hook_in_reader(spark, tmp_path):
+    """End-to-end: a WARC with a br record decodes via the hook and
+    censuses as http_decode_error without it (VERDICT r6 #3 done
+    criteria)."""
+    import zlib as _zlib
+
+    from parse_html_spark.sources.readers import read_span_docs_warc
+
+    d = tmp_path / "br"
+    d.mkdir()
+    payload = b"the br page body"
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br\r\n\r\n" + _zlib.compress(payload)
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://b/1\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+    )
+    (d / "b.warc").write_bytes(rec)
+    hooked = read_span_docs_warc(
+        spark, str(d), on_error="flag", decoders={"br": _zlib.decompress}
+    ).collect()
+    assert hooked[0]["status"] == "ok"
+    assert hooked[0]["spans"][0]["text"] == "the br page body"
+    bare = read_span_docs_warc(spark, str(d), on_error="flag").collect()
+    assert bare[0]["status"].startswith(
+        "http_decode_error:unsupported content-encoding 'br'"
+    )
+    assert bare[0]["spans"] == []
+
+
+def test_undeclared_nonutf8_annotation(spark, tmp_path):
+    """VERDICT r6 #2: no BOM, no declared charset anywhere, bytes not
+    UTF-8 -> the replace decode still succeeds but the record is
+    annotated 'undeclared_nonutf8:<n_replaced>' instead of 'ok', so
+    the census exposes the residual mojibake surface."""
+    from parse_html_spark.sources.readers import (
+        _decode_charset,
+        read_span_docs_warc,
+        write_warc,
+    )
+
+    # unit: shift-jis bytes with no declaration
+    sj = "日本語のページ".encode("shift-jis")
+    text, cs, err = _decode_charset(sj, None)
+    assert cs == "utf-8" and err is not None
+    assert err.startswith("undeclared_nonutf8:")
+    assert int(err.split(":")[1]) >= 1
+    # clean UTF-8 (incl. literal U+FFFD!) stays unannotated
+    assert _decode_charset("ok � text".encode(), None)[2] is None
+    assert _decode_charset(b"plain ascii", None)[2] is None
+    # declared charsets are NOT this bucket (they decode per label)
+    assert _decode_charset(sj, "shift-jis")[2] is None
+
+    d = tmp_path / "undecl"
+    d.mkdir()
+    pages = [
+        ("http://u/ok", "clean utf-8 é".encode("utf-8"), {}),
+        ("http://u/cp1251", "привет мир".encode("cp1251"), {}),
+        ("http://u/sj", sj, {}),
+        # declared legacy page: decodes per declaration, stays ok
+        (
+            "http://u/decl",
+            "déclaré".encode("latin-1"),
+            {"charset": "ISO-8859-1"},
+        ),
+    ]
+    write_warc(str(d / "u.warc.gz"), pages, gzip_members=True)
+    rows = {
+        r["doc_id"].split("#")[0]: r
+        for r in read_span_docs_warc(spark, str(d), on_error="flag").collect()
+    }
+    assert rows["http://u/ok"]["status"] == "ok"
+    assert rows["http://u/decl"]["status"] == "ok"
+    assert rows["http://u/cp1251"]["status"].startswith("undeclared_nonutf8:")
+    assert rows["http://u/sj"]["status"].startswith("undeclared_nonutf8:")
+    # the text still ingested (replace decode), riddled with U+FFFD
+    assert "�" in rows["http://u/sj"]["spans"][0]["text"]
+    # raise mode stays tolerant: it's an annotation, not a failure
+    assert read_span_docs_warc(spark, str(d)).count() == 4
+
+
+def test_gz_chunk_stream_matches_batch_gunzip():
+    """The streaming inflater and _gunzip_members must agree on bytes
+    AND error strings for every corruption mode (census buckets move
+    otherwise)."""
+    import gzip as _gzip
+
+    from parse_html_spark.sources.readers import (
+        _gunzip_members,
+        _iter_gz_chunks,
+    )
+
+    m1 = _gzip.compress(b"alpha " * 1000)
+    m2 = _gzip.compress(b"beta " * 2000)
+    cases = [
+        m1 + m2,
+        m1 + m2[: len(m2) // 2],          # truncated final member
+        m1 + b"\x00garbage\xff",           # trailing garbage
+        m1[: len(m1) // 2],                 # truncated only member
+        b"",                                 # empty archive
+        m1 + b"\x1f\x8b\xff\xff\xff",     # corrupt second member
+    ]
+    for data in cases:
+        want_bytes, want_err = _gunzip_members(data)
+        got = bytearray()
+        got_err = None
+        for chunk, err in _iter_gz_chunks(data, out_chunk=333, in_chunk=17):
+            if chunk is None:
+                got_err = err
+                break
+            got.extend(chunk)
+        assert bytes(got) == want_bytes, data[:20]
+        assert got_err == want_err, (got_err, want_err)
+
+
+def test_warc_stream_memory_envelope():
+    """VERDICT r6 #1 done-criterion: peak memory while iterating a
+    big .warc.gz is bounded by the largest record + inflate chunk, NOT
+    the decompressed archive size."""
+    import gzip as _gzip
+    import tracemalloc
+
+    from parse_html_spark.sources.readers import (
+        _iter_gz_chunks,
+        _iter_warc_stream,
+    )
+
+    # 160 records x ~512 KiB body = ~80 MiB decompressed; compresses
+    # tiny (repetitive), so the resident compressed input is small too
+    body = (b"lorem ipsum dolor sit amet " * 19418)[: 512 * 1024]
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://m/x\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+    )
+    gz = _gzip.compress(rec * 160)
+    total_decompressed = len(rec) * 160
+    assert total_decompressed > 80 * 1024 * 1024
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    n = 0
+    for headers, rbody, off in _iter_warc_stream(_iter_gz_chunks(gz)):
+        assert len(rbody) == len(body)
+        n += 1
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 160
+    # envelope: largest record (~512 KiB) + out_chunk (4 MiB) + input
+    # chunk (1 MiB) + compressed data (~small) -- assert far below the
+    # 80 MiB a whole-archive bytearray would show, with slack for the
+    # allocator
+    assert peak < 24 * 1024 * 1024, f"peak RSS {peak/1e6:.1f} MB"
+
+
+def test_warc_stream_splitter_parity_random():
+    """Cross-path pin: the streaming splitter over tiny gzip chunks
+    must yield byte-identical (headers, body, offset) and status dicts
+    vs the single-chunk batch path, over randomized corrupt archives."""
+    import gzip as _gzip
+    import random
+
+    from parse_html_spark.sources.readers import (
+        _iter_gz_chunks,
+        _iter_warc_stream,
+        parse_warc_records,
+    )
+
+    rng = random.Random(77)
+    for trial in range(40):
+        nrec = rng.randrange(0, 5)
+        raw = bytearray()
+        for i in range(nrec):
+            blen = rng.randrange(0, 2000)
+            body = bytes(rng.randrange(256) for _ in range(min(blen, 64))) * (
+                blen // max(min(blen, 64), 1) + 1
+            )
+            body = body[:blen]
+            declared = blen if rng.random() < 0.8 else rng.randrange(-5, 3000)
+            raw += (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: http://r/" + str(i).encode() + b"\r\n"
+                b"Content-Length: " + str(declared).encode() + b"\r\n\r\n"
+                + body + b"\r\n\r\n"
+            )
+        # random junk injections and truncation
+        if rng.random() < 0.4 and raw:
+            cut = rng.randrange(len(raw))
+            raw = raw[:cut]
+        if rng.random() < 0.4:
+            raw += b"JUNK" * rng.randrange(0, 9) + b"WARC/1."[: rng.randrange(0, 7)]
+        data = bytes(raw)
+        st_batch: dict = {}
+        want = list(parse_warc_records(data, st_batch))
+        st_stream: dict = {}
+        got = list(
+            _iter_warc_stream(
+                _iter_gz_chunks(_gzip.compress(data), out_chunk=97, in_chunk=13),
+                st_stream,
+            )
+        )
+        assert got == want, trial
+        assert st_stream == st_batch, trial
