@@ -788,34 +788,30 @@ def _scratch_dir(prefix):
     return d
 
 
-def _write_flat_span_file(rows, path):
-    """One FLAT parquet file of span-docs (doc_id string, spans) via
-    pyarrow: Spark writes directories, which the streaming file source's
-    flat listing skips silently, and one file = one availableNow
-    micro-batch, which makes the first-seen/stored-first ordering rules
-    deterministic (min / lexicographic-first within the single batch)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+def _build_fixtures_spark_side(spark, df, writer):
+    """Write oracle fixture files from EXECUTOR tasks, not the driver
+    (VERDICT r6 #7: the harness itself must be scale-exemplary -- no
+    driver-side .fetchall() of document tables). ``df`` carries an int
+    grouping column 'g' plus whatever columns ``writer`` needs; each
+    group becomes ONE applyInPandas task calling ``writer(g, pdf)``
+    (rows sorted by doc_id for determinism) which writes that group's
+    fixture file. The scratch dir is shared between driver and
+    executors in local mode; a real cluster would point it at shared
+    storage -- exactly how a distributed fixture/export job ships its
+    shards. The tiny one-row-per-group result is collected only to
+    force execution."""
+    import pandas as pd
 
-    span_t = pa.list_(
-        pa.struct(
-            [
-                ("kind", pa.string()),
-                ("text", pa.string()),
-                ("media_ref", pa.string()),
-                ("offset", pa.int32()),
-            ]
-        )
-    )
-    ids = pa.array([r[0] for r in rows], type=pa.string())
-    spans = pa.array(
-        [
-            [{"kind": "text", "text": r[1], "media_ref": None, "offset": 0}]
-            for r in rows
-        ],
-        type=span_t,
-    )
-    pq.write_table(pa.table({"doc_id": ids, "spans": spans}), path)
+    from parse_html_spark.session import ensure_py_files
+
+    ensure_py_files(spark)
+
+    def apply_fn(pdf):
+        g = int(pdf["g"].iloc[0])
+        writer(g, pdf.sort_values("doc_id").reset_index(drop=True))
+        return pd.DataFrame({"g": [g]})
+
+    df.groupBy("g").applyInPandas(apply_fn, "g int").collect()
 
 
 def _run_stream(start_fn, out_cols, timeout_sec=300):
@@ -849,19 +845,31 @@ def _q_stream_dedup(spark, sf_dir):
     equals md5-groups with their lexicographically-first doc_id -- the
     promoted form of the pytest batch-equivalence pin
     (tests/test_streaming.py)."""
-    import duckdb
-
     from parse_html_spark.streaming import streaming_dedup_first_seen
 
-    rows = duckdb.sql(
-        "SELECT CAST(doc_id AS VARCHAR), text FROM "
-        f"read_parquet('{sf_dir}/documents.parquet') "
-        "UNION ALL SELECT CAST(doc_id + 10000000 AS VARCHAR), text FROM "
-        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY 1"
-    ).fetchall()
+    docs = _documents(spark, sf_dir)
+    doubled = (
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .unionAll(
+            docs.select(
+                (F.col("doc_id") + 10000000).cast("string").alias("doc_id"),
+                "text",
+            )
+        )
+        .withColumn("g", F.lit(0))
+    )
 
     def start(in_dir, out_dir, ckpt):
-        _write_flat_span_file(rows, f"{in_dir}/docs.parquet")
+        path = f"{in_dir}/docs.parquet"
+
+        def writer(_g, pdf):
+            from parse_html_spark.fixtures import write_flat_span_file
+
+            write_flat_span_file(
+                zip(pdf["doc_id"], pdf["text"]), path
+            )
+
+        _build_fixtures_spark_side(spark, doubled, writer)
         return (
             streaming_dedup_first_seen(spark, in_dir, out_dir, ckpt),
             spark,
@@ -885,27 +893,32 @@ def _q_stream_lsh(spark, sf_dir):
     original/copy pair. Lex direction matters: copies '2000000x' sort
     BEFORE originals starting with digits > '2', so both orders occur
     and greatest/least on the VARCHAR ids predicts each edge."""
-    import duckdb
-
     from parse_html_spark.streaming import streaming_near_dup_candidates
 
-    rows = duckdb.sql(
-        "WITH kept AS (SELECT doc_id, text FROM "
-        f"read_parquet('{sf_dir}/documents.parquet') a "
-        "WHERE NOT EXISTS (SELECT 1 FROM "
-        f"read_parquet('{sf_dir}/documents.parquet') b "
+    _documents(spark, sf_dir).createOrReplaceTempView("_lsh_fixture_docs")
+    # same kept-set rule as the DuckDB oracle, expressed in Spark SQL
+    # and materialized executor-side (no driver fetchall)
+    doubled = spark.sql(
+        "WITH kept AS (SELECT doc_id, text FROM _lsh_fixture_docs a "
+        "WHERE NOT EXISTS (SELECT 1 FROM _lsh_fixture_docs b "
         "WHERE b.text = a.text AND b.doc_id < a.doc_id) "
-        "AND NOT EXISTS (SELECT 1 FROM "
-        f"read_parquet('{sf_dir}/documents.parquet') b "
+        "AND NOT EXISTS (SELECT 1 FROM _lsh_fixture_docs b "
         "WHERE length(b.text) < length(a.text) "
-        "AND starts_with(a.text, b.text))) "
-        "SELECT CAST(doc_id AS VARCHAR), text FROM kept "
-        "UNION ALL SELECT CAST(doc_id + 20000000 AS VARCHAR), text "
-        "FROM kept ORDER BY 1"
-    ).fetchall()
+        "AND startswith(a.text, b.text))) "
+        "SELECT CAST(doc_id AS STRING) AS doc_id, text, 0 AS g FROM kept "
+        "UNION ALL SELECT CAST(doc_id + 20000000 AS STRING), text, 0 "
+        "FROM kept"
+    )
 
     def start(in_dir, out_dir, ckpt):
-        _write_flat_span_file(rows, f"{in_dir}/docs.parquet")
+        path = f"{in_dir}/docs.parquet"
+
+        def writer(_g, pdf):
+            from parse_html_spark.fixtures import write_flat_span_file
+
+            write_flat_span_file(zip(pdf["doc_id"], pdf["text"]), path)
+
+        _build_fixtures_spark_side(spark, doubled, writer)
         return (
             streaming_near_dup_candidates(spark, in_dir, out_dir, ckpt),
             spark,
@@ -962,29 +975,42 @@ def _q_warc_source(spark, sf_dir):
     charset hash-mismatches)."""
     import os
 
-    import duckdb
+    from parse_html_spark.sources.readers import read_span_docs_warc
 
-    from parse_html_spark.sources.readers import read_span_docs_warc, write_warc
-
-    rows = duckdb.sql(
-        "SELECT doc_id, text FROM "
-        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
-    ).fetchall()
     d = _scratch_dir("spark_graft_warc_")
-    pages = []
-    for i, t in rows:
-        uri = f"http://d/{i}"
-        if i % 4 == 1:
-            pages.append((uri, t.encode("utf-8"), {"content_encoding": "gzip"}))
-        elif i % 4 == 2:
-            pages.append((uri, t.encode("utf-8"), {"chunked": True, "chunk_size": 11}))
-        elif i % 4 == 3:
-            pages.append(
-                (uri, ("café " + t).encode("latin-1"), {"charset": "ISO-8859-1"})
-            )
-        else:
-            pages.append((uri, t.encode("utf-8")))
-    write_warc(os.path.join(d, "part-0.warc.gz"), pages, gzip_members=True)
+    path = os.path.join(d, "part-0.warc.gz")
+
+    def writer(_g, pdf):
+        from parse_html_spark.sources.readers import write_warc
+
+        pages = []
+        for i, t in zip(pdf["doc_id"], pdf["text"]):
+            i = int(i)
+            uri = f"http://d/{i}"
+            if i % 4 == 1:
+                pages.append(
+                    (uri, t.encode("utf-8"), {"content_encoding": "gzip"})
+                )
+            elif i % 4 == 2:
+                pages.append(
+                    (uri, t.encode("utf-8"),
+                     {"chunked": True, "chunk_size": 11})
+                )
+            elif i % 4 == 3:
+                pages.append(
+                    (uri, ("café " + t).encode("latin-1"),
+                     {"charset": "ISO-8859-1"})
+                )
+            else:
+                pages.append((uri, t.encode("utf-8")))
+        write_warc(path, pages, gzip_members=True)
+
+    _build_fixtures_spark_side(
+        spark,
+        _documents(spark, sf_dir).select("doc_id", "text")
+        .withColumn("g", F.lit(0)),
+        writer,
+    )
     df = read_span_docs_warc(spark, d)
     return df.select(
         F.split(F.col("doc_id"), "#")[0].alias("uri"),
@@ -1004,25 +1030,27 @@ def _q_wet_source(spark, sf_dir):
     byte-for-byte intact."""
     import os
 
-    import duckdb
+    from parse_html_spark.sources.readers import read_span_docs_wet
 
-    from parse_html_spark.sources.readers import read_span_docs_wet, write_warc
-
-    rows = duckdb.sql(
-        "SELECT doc_id, text FROM "
-        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
-    ).fetchall()
     d = _scratch_dir("spark_graft_wet_")
-    pages = []
-    for i, t in rows:
-        if i % 5 == 0:
-            t = "HTTP/1.1 200 OK\r\n\r\n" + t
-        pages.append((f"http://w/{i}", t.encode("utf-8")))
-    write_warc(
-        os.path.join(d, "part-0.warc.wet.gz"),
-        pages,
-        gzip_members=True,
-        record_type="conversion",
+    path = os.path.join(d, "part-0.warc.wet.gz")
+
+    def writer(_g, pdf):
+        from parse_html_spark.sources.readers import write_warc
+
+        pages = []
+        for i, t in zip(pdf["doc_id"], pdf["text"]):
+            i = int(i)
+            if i % 5 == 0:
+                t = "HTTP/1.1 200 OK\r\n\r\n" + t
+            pages.append((f"http://w/{i}", t.encode("utf-8")))
+        write_warc(path, pages, gzip_members=True, record_type="conversion")
+
+    _build_fixtures_spark_side(
+        spark,
+        _documents(spark, sf_dir).select("doc_id", "text")
+        .withColumn("g", F.lit(0)),
+        writer,
     )
     df = read_span_docs_wet(spark, d)
     return df.select(
@@ -1043,31 +1071,24 @@ def _q_warc_census(spark, sf_dir):
     body). warc_decode_census's (status, n_docs, total_chars) rollup is
     then exactly SQL-predictable: 500 ok docs carrying every text byte,
     3 archive errors, 3 bad-length records."""
-    import gzip
     import os
-
-    import duckdb
 
     from parse_html_spark.sources.readers import (
         read_span_docs_warc,
         warc_decode_census,
-        write_warc,
     )
 
-    rows = duckdb.sql(
-        "SELECT doc_id, text FROM "
-        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
-    ).fetchall()
     d = _scratch_dir("spark_graft_warccensus_")
-    groups: dict[int, list] = {g: [] for g in range(10)}
-    for i, t in rows:
-        groups[i % 10].append((f"http://d/{i}", t.encode("utf-8")))
-    bad_rec = (
-        b"WARC/1.0\r\nWARC-Type: response\r\n"
-        b"WARC-Target-URI: http://bad/rec\r\n"
-        b"Content-Length: NaN\r\n\r\n"
-    )
-    for g, pages in groups.items():
+
+    def writer(g, pdf):
+        import gzip
+
+        from parse_html_spark.sources.readers import write_warc
+
+        pages = [
+            (f"http://d/{int(i)}", t.encode("utf-8"))
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+        ]
         path = os.path.join(d, f"part-{g}.warc.gz")
         write_warc(path, pages, gzip_members=True)
         if g % 3 == 1:
@@ -1076,8 +1097,20 @@ def _q_warc_census(spark, sf_dir):
             with open(path, "ab") as fh:
                 fh.write(b"\x1f\x8b\xff\xff\xff")
         elif g % 3 == 2:
+            bad_rec = (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: http://bad/rec\r\n"
+                b"Content-Length: NaN\r\n\r\n"
+            )
             with open(path, "ab") as fh:
                 fh.write(gzip.compress(bad_rec))
+
+    _build_fixtures_spark_side(
+        spark,
+        _documents(spark, sf_dir).select("doc_id", "text")
+        .withColumn("g", F.pmod(F.col("doc_id"), F.lit(10)).cast("int")),
+        writer,
+    )
     docs = read_span_docs_warc(spark, d, on_error="flag")
     return warc_decode_census(docs)
 
@@ -1093,61 +1126,80 @@ def _q_charset_census(spark, sf_dir):
     legacy-charset tail is census-visible, not silent mojibake). The
     (charset, content_encoding, status_class) rollup is then exact
     modular arithmetic in SQL: mojibake risk as one queryable table."""
-    import gzip
     import os
-
-    import duckdb
 
     from parse_html_spark.sources.readers import (
         read_span_docs_warc,
         warc_charset_census,
-        write_warc,
     )
 
-    rows = duckdb.sql(
-        "SELECT doc_id, text FROM "
-        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
-    ).fetchall()
     d = _scratch_dir("spark_graft_charset_")
-    pages = []
-    for i, t in rows:
-        uri = f"http://cs/{i}"
-        if i % 5 == 1:
-            pages.append((uri, t.encode("utf-8"), {"content_encoding": "gzip"}))
-        elif i % 5 == 2:
-            pages.append((uri, t.encode("utf-8"), {"chunked": True, "chunk_size": 9}))
-        elif i % 5 == 3:
-            pages.append((uri, t.encode("latin-1"), {"charset": "ISO-8859-1"}))
-        elif i % 5 == 4:
-            pages.append((uri, t.encode("utf-8"), {"charset": "x-martian"}))
-        else:
-            pages.append((uri, t.encode("utf-8")))
     path = os.path.join(d, "part-0.warc.gz")
-    write_warc(path, pages, gzip_members=True)
-    body = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n\x0b\x02\x80junk"
-    rec = (
-        b"WARC/1.0\r\nWARC-Type: response\r\n"
-        b"WARC-Target-URI: http://cs/br\r\n"
-        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
-        + body + b"\r\n\r\n"
+
+    def writer(_g, pdf):
+        import gzip
+
+        from parse_html_spark.sources.readers import write_warc
+
+        pages = []
+        for i, t in zip(pdf["doc_id"], pdf["text"]):
+            i = int(i)
+            uri = f"http://cs/{i}"
+            if i % 5 == 1:
+                pages.append(
+                    (uri, t.encode("utf-8"), {"content_encoding": "gzip"})
+                )
+            elif i % 5 == 2:
+                pages.append(
+                    (uri, t.encode("utf-8"),
+                     {"chunked": True, "chunk_size": 9})
+                )
+            elif i % 5 == 3:
+                pages.append(
+                    (uri, t.encode("latin-1"), {"charset": "ISO-8859-1"})
+                )
+            elif i % 5 == 4:
+                pages.append(
+                    (uri, t.encode("utf-8"), {"charset": "x-martian"})
+                )
+            else:
+                pages.append((uri, t.encode("utf-8")))
+        write_warc(path, pages, gzip_members=True)
+        body = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n\x0b\x02\x80junk"
+        )
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://cs/br\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body + b"\r\n\r\n"
+        )
+        # one UNDECLARED legacy-charset record (round 7): cp1251 bytes,
+        # no BOM, no header charset, no meta declaration -- the
+        # utf-8-replace fallback decodes 20 bytes to 20 chars (11 of
+        # them U+FFFD) and the census must show it as
+        # undeclared_nonutf8, not clean 'ok'
+        cp_payload = "привет мир из cp1251".encode("cp1251")
+        cp_body = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + cp_payload
+        )
+        cp_rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://cs/cp1251\r\n"
+            b"Content-Length: " + str(len(cp_body)).encode() + b"\r\n\r\n"
+            + cp_body + b"\r\n\r\n"
+        )
+        with open(path, "ab") as fh:
+            fh.write(gzip.compress(rec))
+            fh.write(gzip.compress(cp_rec))
+
+    _build_fixtures_spark_side(
+        spark,
+        _documents(spark, sf_dir).select("doc_id", "text")
+        .withColumn("g", F.lit(0)),
+        writer,
     )
-    # one UNDECLARED legacy-charset record (round 7): cp1251 bytes, no
-    # BOM, no header charset, no meta declaration -- the utf-8-replace
-    # fallback decodes 20 bytes to 20 chars (11 of them U+FFFD) and the
-    # census must show it as undeclared_nonutf8, not clean 'ok'
-    cp_payload = "привет мир из cp1251".encode("cp1251")
-    cp_body = (
-        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + cp_payload
-    )
-    cp_rec = (
-        b"WARC/1.0\r\nWARC-Type: response\r\n"
-        b"WARC-Target-URI: http://cs/cp1251\r\n"
-        b"Content-Length: " + str(len(cp_body)).encode() + b"\r\n\r\n"
-        + cp_body + b"\r\n\r\n"
-    )
-    with open(path, "ab") as fh:
-        fh.write(gzip.compress(rec))
-        fh.write(gzip.compress(cp_rec))
     docs = read_span_docs_warc(spark, d, on_error="flag")
     return warc_charset_census(docs)
 
@@ -1239,33 +1291,38 @@ def _q_jsonl_source(spark, sf_dir):
     (text/media/text) written one JSON object per line, read back with
     the pinned schema (no inference) and the derived n_chars column
     (the file intentionally omits n_chars to exercise the derivation)."""
-    import json
     import os
-
-    import duckdb
 
     from parse_html_spark.sources.readers import read_span_docs_jsonl
 
-    rows = duckdb.sql(
-        "SELECT doc_id, text FROM "
-        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
-    ).fetchall()
     d = _scratch_dir("spark_graft_jsonl_")
     path = os.path.join(d, "docs.jsonl")
-    with open(path, "w") as fh:
-        for i, t in rows:
-            doc = {
-                "doc_id": str(i),
-                "spans": [
-                    {"kind": "text", "text": t[:10], "media_ref": None,
-                     "offset": 0},
-                    {"kind": "media", "text": "",
-                     "media_ref": f"media://{i}", "offset": 10},
-                    {"kind": "text", "text": t[10:], "media_ref": None,
-                     "offset": 11},
-                ],
-            }
-            fh.write(json.dumps(doc) + "\n")
+
+    def writer(_g, pdf):
+        import json
+
+        with open(path, "w") as fh:
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                doc = {
+                    "doc_id": str(i),
+                    "spans": [
+                        {"kind": "text", "text": t[:10], "media_ref": None,
+                         "offset": 0},
+                        {"kind": "media", "text": "",
+                         "media_ref": f"media://{i}", "offset": 10},
+                        {"kind": "text", "text": t[10:], "media_ref": None,
+                         "offset": 11},
+                    ],
+                }
+                fh.write(json.dumps(doc) + "\n")
+
+    _build_fixtures_spark_side(
+        spark,
+        _documents(spark, sf_dir).select("doc_id", "text")
+        .withColumn("g", F.lit(0)),
+        writer,
+    )
     df = read_span_docs_jsonl(spark, path)
     return df.select(
         F.col("doc_id"),

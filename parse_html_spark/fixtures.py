@@ -282,3 +282,36 @@ def write_corpus_parquet(
             ids, spans, nchars = _gen_chunk(ch)
             _write(ids, spans, nchars)
     writer.close()
+
+
+def write_flat_span_file(rows, path: str) -> None:
+    """One FLAT parquet file of single-text-span docs via pyarrow
+    (rows: iterable of (doc_id, text)). Spark writes directories,
+    which the streaming file source's flat listing skips silently, and
+    one file = one availableNow micro-batch, which makes first-seen /
+    stored-first ordering rules deterministic. Package-side (not in
+    the entry harness) so executor-side fixture writers can import it
+    by reference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span_t = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    rows = list(rows)
+    ids = pa.array([r[0] for r in rows], type=pa.string())
+    spans = pa.array(
+        [
+            [{"kind": "text", "text": r[1], "media_ref": None, "offset": 0}]
+            for r in rows
+        ],
+        type=span_t,
+    )
+    pq.write_table(pa.table({"doc_id": ids, "spans": spans}), path)

@@ -260,7 +260,7 @@ def streaming_near_dup_candidates(
 
     # NOTE: no type annotations on the UDF -- this module uses
     # `from __future__ import annotations`, which stringifies hints and
-    # breaks pandas_udf signature inference (CLAUDE.md gotcha)
+    # breaks pandas_udf signature inference (build-notes gotcha)
     def _sig(texts):
         return texts.map(lambda t: _minhash_sig(t or "", num_hashes, 3, coeffs))
 

@@ -9,7 +9,7 @@ both paths see identical input. Rewrites the '## IVF training at
 scale' section of BENCH/SIMILARITY.md.
 
 Usage: python tools/bench_ivf_train.py [n_vectors]
-Run SOLO (concurrent Spark/CPU work ruins wall times -- CLAUDE.md).
+Run SOLO (concurrent Spark/CPU work ruins wall times -- see build notes).
 """
 
 import os
