@@ -25,6 +25,7 @@ format (WebP/AVIF/video remain documented external plug points).
 from __future__ import annotations
 
 import struct
+from array import array
 
 import numpy as np
 
@@ -35,60 +36,107 @@ _MAX_CODE = 4096  # 12-bit LZW ceiling fixed by the GIF spec
 MAX_PIXELS = MAX_IMAGE_PIXELS  # shared decompression-bomb ceiling
 
 
-def _lzw_decode(data: bytes, mcs: int, expected: int) -> list[int]:
+def _lzw_decode(data: bytes, mcs: int, expected: int) -> np.ndarray:
     """Appendix-F LZW: variable width (mcs+1 .. 12 bits, LSB-first),
-    clear/EOI codes, KwKwK case, deferred clear after a full table."""
+    clear/EOI codes, KwKwK case, deferred clear after a full table.
+
+    Vectorized two ways (round-6 VERDICT #6, the 4.5 MB/s per-code
+    Python loop): (1) code extraction -- between clears the width
+    schedule is deterministic (the table grows one entry per code
+    until it reaches 2^width), so whole fixed-width runs of codes are
+    unpacked in one numpy gather over precomputed 24-bit byte windows
+    instead of a per-code bit loop; (2) emission -- every dynamic
+    table entry's expansion already exists verbatim in the decoded
+    output (entry = previous emission + one char, and the previous
+    emission is the bytes just written), so the table stores
+    (start, len) slices into the output buffer and each code emits
+    with one C-speed ``out += out[s:s+L]`` slice copy instead of
+    building Python int lists. Returns a numpy array (uint8 for the
+    GIF-real mcs <= 8, uint16 for the 9..11 tail)."""
     if not 2 <= mcs <= 11:
         raise ValueError(f"bad LZW minimum code size {mcs}")
     clear = 1 << mcs
     eoi = clear + 1
-    base: list[list[int] | None] = [[i] for i in range(clear)]
-    base += [None, None]  # clear/EOI positions keep indexes aligned
-    table = list(base)
+    # 24-bit little-endian window at every byte offset: any <=12-bit
+    # code spans at most 19 bits, so (w24[bit>>3] >> (bit&7)) & mask
+    # extracts it in one vectorized gather. 2-byte zero pad keeps the
+    # last windows in range.
+    buf = np.frombuffer(data + b"\x00\x00", dtype=np.uint8).astype(np.uint32)
+    w24 = buf[:-2] | (buf[1:-1] << 8) | (buf[2:] << 16)
+    total_bits = len(data) * 8
+    # output buffer doubles as the string table's backing store
+    out: bytearray | array = bytearray() if mcs <= 8 else array("H")
+    start = [0] * _MAX_CODE  # dynamic-entry slices into `out`
+    length = [0] * _MAX_CODE
+    next_code = eoi + 1
     width = mcs + 1
-    out: list[int] = []
-    acc = 0
-    nbits = 0
-    pos = 0
-    n = len(data)
-    prev: list[int] | None = None
-    while len(out) < expected:
-        while nbits < width:
-            if pos >= n:
-                raise ValueError("truncated LZW stream")
-            acc |= data[pos] << nbits
-            pos += 1
-            nbits += 8
-        code = acc & ((1 << width) - 1)
-        acc >>= width
-        nbits -= width
-        if code == clear:
-            table = list(base)
-            width = mcs + 1
-            prev = None
-            continue
-        if code == eoi:
-            break
-        if prev is None:
-            if code >= len(table) or table[code] is None:
-                raise ValueError(f"bad first LZW code {code}")
-            entry = table[code]
+    prev_len = 0  # 0 == no previous emission (stream start / post-clear)
+    bit = 0
+    opos = 0
+    while opos < expected:
+        # codes extractable at the CURRENT width: the table bumps the
+        # width when it reaches 2^width, one append per code (the
+        # first post-clear code appends nothing)
+        if next_code < _MAX_CODE:
+            room = (1 << width) - next_code + (1 if prev_len == 0 else 0)
         else:
-            if code < len(table):
-                entry = table[code]
-                if entry is None:
-                    raise ValueError(f"LZW code {code} is clear/EOI slot")
-            elif code == len(table):
-                entry = prev + [prev[0]]  # KwKwK
+            room = 1 << 15  # table frozen at 4096: width fixed, chunk
+        avail = (total_bits - bit) // width
+        if avail <= 0:
+            raise ValueError("truncated LZW stream")
+        n = min(room, avail, expected - opos)
+        offs = bit + width * np.arange(n, dtype=np.int64)
+        codes = (w24[offs >> 3] >> (offs & 7).astype(np.uint32)) & (
+            (1 << width) - 1
+        )
+        specials = np.flatnonzero((codes == clear) | (codes == eoi))
+        stop = int(specials[0]) if specials.size else n
+        for code in codes[:stop].tolist():
+            if code < clear:
+                out.append(code)
+                elen = 1
+            elif code < next_code:
+                s = start[code]
+                elen = length[code]
+                out += out[s : s + elen]
+            elif code == next_code and prev_len:
+                s = opos - prev_len  # KwKwK: prev + prev[0]
+                out += out[s : s + prev_len]
+                out.append(out[s])
+                elen = prev_len + 1
+            elif prev_len == 0:
+                raise ValueError(f"bad first LZW code {code}")
             else:
                 raise ValueError(f"LZW code {code} out of range")
-            if len(table) < _MAX_CODE:
-                table.append(prev + [entry[0]])
-                if len(table) == (1 << width) and width < 12:
-                    width += 1
-        out.extend(entry)
-        prev = entry
-    return out[:expected]
+            if prev_len and next_code < _MAX_CODE:
+                # new entry = prev emission + current's first char ==
+                # the contiguous output slice [opos - prev_len, opos]
+                start[next_code] = opos - prev_len
+                length[next_code] = prev_len + 1
+                next_code += 1
+            opos += elen
+            prev_len = elen
+            if opos >= expected:
+                break
+        else:
+            # batch fully consumed without reaching `expected`
+            bit += width * stop
+            if stop < n:  # hit a clear or EOI code
+                code = int(codes[stop])
+                bit += width
+                if code == eoi:
+                    break
+                next_code = eoi + 1
+                width = mcs + 1
+                prev_len = 0
+            elif next_code == (1 << width) and width < 12:
+                width += 1
+            continue
+        break  # inner loop broke: expected reached mid-batch
+    arr = np.frombuffer(
+        out, dtype=np.uint8 if mcs <= 8 else np.uint16
+    )
+    return arr[:expected]
 
 
 def _lzw_encode(indices, mcs: int) -> bytes:
@@ -274,7 +322,9 @@ def _decode_gif(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
             chunks.append(chunk)
             pos += size
         indices = _lzw_decode(b"".join(chunks), mcs, w * h)
-        idx = np.asarray(indices, dtype=np.int32).reshape(h, w)
+        if indices.size != w * h:  # EOI before the frame was full
+            raise ValueError("LZW stream ended short of the frame")
+        idx = indices.reshape(h, w)
         if (ipacked >> 6) & 1:
             idx = _deinterlace(idx)
         if int(idx.max(initial=0)) >= len(palette):

@@ -217,10 +217,15 @@ def main() -> None:
         )
     lines += [
         "",
-        "LZW is a per-code Python loop by nature (each code's table",
-        "entry feeds the next); palette lookup, deinterlace, and frame",
-        "composition are single numpy passes. Same envelope note as",
-        "JPEG: real for features-at-ingest, external plug for bulk.",
+        "LZW decode (round 7) unpacks whole fixed-width code runs in",
+        "one numpy gather (the width schedule between clears is",
+        "deterministic) and emits via (start, len) slice copies into",
+        "the output buffer -- the only per-code Python left is integer",
+        "table bookkeeping (~2.5-3x round 6, measured against the",
+        "unchanged encoder as the throttle control). Palette lookup,",
+        "deinterlace, and frame composition are single numpy passes.",
+        "Same envelope note as JPEG: real for features-at-ingest,",
+        "external plug for bulk.",
         "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "CODECS.md")
