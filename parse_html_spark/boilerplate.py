@@ -217,15 +217,16 @@ def pruned_ranges(
 ) -> list[tuple[int, int]]:
     """Outer byte ranges of boilerplate subtrees inside [lo, hi) (rule 3),
     computed with one vectorized scoring pass over candidate nodes."""
-    a0 = int(np.searchsorted(doc.start, lo, side="left"))
-    b0 = int(np.searchsorted(doc.start, hi, side="left"))
+    a0 = bisect.bisect_left(doc.start_l, lo)
+    b0 = bisect.bisect_left(doc.start_l, hi)
     if a0 >= b0:
         return []
     # boilerplate-tag mask comes pre-classified from the tokenizer pass;
-    # contiguous array slices are views (no fancy-index copies)
+    # only the candidate subrange is lifted to numpy (the full-array
+    # twins stay lazy -- round-7 profiling)
     boiler = np.asarray(doc.boiler_l[a0:b0], dtype=bool)
-    cs = doc.cstart[a0:b0]
-    ce = doc.cend[a0:b0]
+    cs = np.asarray(doc.cstart_l[a0:b0], dtype=np.int64)
+    ce = np.asarray(doc.cend_l[a0:b0], dtype=np.int64)
     tl = tm.text_len_many(cs, ce)
     al = tm.anchor_len_many(cs, ce)
     na = tm.anchors_in_many(cs, ce)
@@ -260,32 +261,47 @@ def main_content_spans(
 
     events: list[tuple[int, int, str, str, str | None]] = []
     # input media spans split text regions: the interleaved sequence must
-    # keep text-before / media / text-after as separate output spans
-    media_cuts = sorted(p for p, _ in (media_positions or []))
-    ts, te = doc.tstart, doc.tend
-    a = int(np.searchsorted(te, lo, side="right"))
-    b = int(np.searchsorted(ts, hi, side="left"))
+    # keep text-before / media / text-after as separate output spans.
+    # Breaks (pruned ranges + zero-width media cuts) are merged ONCE per
+    # document instead of sorted(pruned + cuts) per text region (round-7
+    # profiling): out-of-region breaks are no-ops under the same skip
+    # rules the per-region sort obeyed (a cut at pos==s advances nothing,
+    # ps >= e terminates the sorted scan), so one monotone pointer over
+    # the merged list reproduces the per-region behavior exactly.
+    ts_l, te_l = doc.tstart_l, doc.tend_l
+    a = bisect.bisect_right(te_l, lo)
+    b = bisect.bisect_left(ts_l, hi)
+    if media_positions:
+        breaks = sorted(pruned + [(p, p) for p, _ in media_positions])
+    else:
+        breaks = pruned  # already sorted, disjoint
+    nb = len(breaks)
+    gi = 0  # breaks before gi have pe <= every later region start: dead
     html = doc.html
     for k in range(a, b):
-        s = max(int(ts[k]), lo)
-        e = min(int(te[k]), hi)
+        s = ts_l[k]
+        if s < lo:
+            s = lo
+        e = te_l[k]
+        if e > hi:
+            e = hi
         if e <= s:
             continue
         pos = s
-        ci = bisect.bisect_right(media_cuts, s)
-        cuts = []
-        while ci < len(media_cuts) and media_cuts[ci] < e:
-            cuts.append((media_cuts[ci], media_cuts[ci]))
-            ci += 1
-        breaks = sorted(pruned + cuts) if (pruned or cuts) else ()
-        for ps, pe in breaks:
-            if pe < pos or ps >= e:
+        while gi < nb and breaks[gi][1] <= s:
+            gi += 1
+        for bi in range(gi, nb):
+            ps, pe = breaks[bi]
+            if ps >= e:
+                break  # sorted by ps: no later break can intersect
+            if pe < pos:
                 continue
             if ps > pos:
                 t = trim_html(html[pos:ps])
                 if t:
                     events.append((pos, 1, "text", t, None))
-            pos = max(pos, pe)
+            if pe > pos:
+                pos = pe
         if pos < e:
             t = trim_html(html[pos:e])
             if t:

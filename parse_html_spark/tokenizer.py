@@ -28,6 +28,7 @@ Semantics pinned to the reference (SURVEY.md section 2.11):
 
 from __future__ import annotations
 
+import bisect
 import re
 
 import numpy as np
@@ -55,6 +56,18 @@ KNOWN_TAGS = frozenset(
     summary sup table tbody td textarea tfoot th thead time title tr track u
     ul var video wbr""".split()
 )
+
+# one dict probe per open tag replaces four set/equality probes in the
+# token loop (round-7 profiling). Bit 0 is boiler so `fl & 1` doubles as
+# the stored boiler_l value (0/1 == False/True for every consumer).
+_TF_BOILER, _TF_VOID, _TF_A, _TF_MEDIA = 1, 2, 4, 8
+TAG_FLAGS: dict[str, int] = {
+    t: (_TF_BOILER if t in BOILER_TAGS else 0)
+    | (_TF_VOID if t in VOID_TAGS else 0)
+    | (_TF_A if t == "a" else 0)
+    | (_TF_MEDIA if t in MEDIA_TAGS else 0)
+    for t in (KNOWN_TAGS | VOID_TAGS | BOILER_TAGS | {"a", *MEDIA_TAGS})
+}
 
 TOKEN_RE = re.compile(
     r"<(?:"
@@ -134,10 +147,12 @@ class DocIndex:
     """Columnar node index for one document."""
 
     __slots__ = (
-        "html", "n", "tag", "start", "end", "cstart", "cend", "parent",
-        "depth", "tstart", "tend", "_attr_src", "_attrs", "_children",
+        "html", "n", "tag",
+        "tstart", "tend", "_attr_src", "_attrs", "_children",
         "_tag_arr", "start_l", "end_l", "cstart_l", "cend_l", "parent_l",
-        "tstart_l", "tend_l", "a_ids", "media_ids", "boiler_l",
+        "depth_l", "tstart_l", "tend_l", "a_ids", "media_ids", "boiler_l",
+        "_start_a", "_end_a", "_cstart_a", "_cend_a", "_parent_a",
+        "_depth_a",
     )
 
     @property
@@ -147,40 +162,83 @@ class DocIndex:
             self._tag_arr = np.asarray(self.tag, dtype=object)
         return self._tag_arr
 
+    # numpy twins the extraction hot path never touches are built lazily
+    # (round-7 profiling): selector/DOM/node-table paths pay the one-time
+    # conversion on first use, extraction skips it entirely
+
+    @property
+    def start(self) -> "np.ndarray":
+        if self._start_a is None:
+            self._start_a = np.asarray(self.start_l, dtype=np.int64)
+        return self._start_a
+
+    @property
+    def end(self) -> "np.ndarray":
+        if self._end_a is None:
+            self._end_a = np.asarray(self.end_l, dtype=np.int64)
+        return self._end_a
+
+    @property
+    def cstart(self) -> "np.ndarray":
+        if self._cstart_a is None:
+            self._cstart_a = np.asarray(self.cstart_l, dtype=np.int64)
+        return self._cstart_a
+
+    @property
+    def cend(self) -> "np.ndarray":
+        if self._cend_a is None:
+            self._cend_a = np.asarray(self.cend_l, dtype=np.int64)
+        return self._cend_a
+
+    @property
+    def parent(self) -> "np.ndarray":
+        if self._parent_a is None:
+            self._parent_a = np.asarray(self.parent_l, dtype=np.int64)
+        return self._parent_a
+
+    @property
+    def depth(self) -> "np.ndarray":
+        if self._depth_a is None:
+            self._depth_a = np.asarray(self.depth_l, dtype=np.int64)
+        return self._depth_a
+
     def __init__(self, html: str):
         self.html = html
         tags: list[str] = []
         starts: list[int] = []
         st_ends: list[int] = []  # end of start tag
-        ends: list[int] = []  # element outer end (== st_end until closed)
-        cends: list[int] = []  # contents end (== st_end until closed)
         attr_src: list[str] = []
         open_stacks: dict[str, list[int]] = {}
         # single-pass side products (round 6 profiling): plain-text
         # regions (gaps between markup tokens) built inline instead of
         # via a token_spans tuple list + second pass; anchor / media /
         # boilerplate node classification done here (set lookups per
-        # open tag) so the scorer never rebuilds them per document
+        # open tag) so the scorer never rebuilds them per document.
+        # Round 7: ends/cends writes are deferred -- the token loop only
+        # records (idx, close_start, close_end) per matched closer and
+        # the final arrays are built from one st_ends copy + the closure
+        # list, keeping the per-token body to the minimum op count.
         tstart: list[int] = []
         tend: list[int] = []
         a_ids: list[int] = []
         media_ids: list[int] = []
         boiler_l: list[bool] = []
+        closures: list[tuple[int, int, int]] = []
 
         # hot loop: local bindings + positional groups (group 1=close,
         # 2=cname, 3=name, 4=attrs); ~200 tokens/doc on the bench mix
         tags_append = tags.append
         starts_append = starts.append
         st_ends_append = st_ends.append
-        ends_append = ends.append
-        cends_append = cends.append
         attr_append = attr_src.append
         tstart_append = tstart.append
         tend_append = tend.append
         a_append = a_ids.append
         media_append = media_ids.append
         boiler_append = boiler_l.append
+        closures_append = closures.append
         get_stack = open_stacks.get
+        flags_get = TAG_FLAGS.get
         pos = 0
         for m in TOKEN_RE.finditer(html):
             s_tok, e_tok = m.span()
@@ -195,15 +253,16 @@ class DocIndex:
                 tags_append(lname)
                 starts_append(s_tok)
                 st_ends_append(e_tok)
-                ends_append(e_tok)
-                cends_append(e_tok)
-                attr_append(m.span(4))  # lazy: slice html only on demand
-                boiler_append(lname in BOILER_TAGS)
-                if lname == "a":
-                    a_append(idx)
-                elif lname == "img" or lname == "embed":
-                    media_append(idx)
-                if lname not in VOID_TAGS:
+                # attrs span == (end of name group, '>') by construction
+                attr_append((m.end(3), e_tok - 1))
+                fl = flags_get(lname, 0)
+                boiler_append(fl & 1)
+                if fl & 12:
+                    if fl & 4:
+                        a_append(idx)
+                    else:
+                        media_append(idx)
+                if not fl & 2:
                     stack = get_stack(lname)
                     if stack is None:
                         open_stacks[lname] = [idx]
@@ -220,9 +279,7 @@ class DocIndex:
                 if e_tok - s_tok == len(cname) + 3:
                     stack = get_stack(cname.lower())
                     if stack:
-                        idx = stack.pop()
-                        ends[idx] = e_tok
-                        cends[idx] = s_tok
+                        closures_append((stack.pop(), s_tok, e_tok))
                 # orphan/junk close tag: markup only
         if pos < len(html):
             tstart_append(pos)
@@ -231,21 +288,26 @@ class DocIndex:
         n = len(tags)
         self.n = n
         self.tag = tags
+        # element outer end / contents end: == st_end (bare start tag)
+        # until a matching closer was recorded. A closer always starts
+        # at/after its open tag's end (tokens are disjoint and
+        # increasing), so cend >= cstart by construction.
+        ends = st_ends.copy()
+        cends = st_ends.copy()
+        for idx, c_s, c_e in closures:
+            ends[idx] = c_e
+            cends[idx] = c_s
         # list twins stay alongside the numpy forms: scalar hot paths
         # (container descent, per-node loops) index plain ints without
-        # numpy boxing; vectorized paths use the arrays
+        # numpy boxing; vectorized paths use the arrays (end/parent/
+        # depth twins are lazy properties -- extraction never reads them)
         self.start_l = starts
         self.end_l = ends
         self.cstart_l = st_ends
-        self.start = np.asarray(starts, dtype=np.int64)
-        self.end = np.asarray(ends, dtype=np.int64)
-        self.cstart = np.asarray(st_ends, dtype=np.int64)
-        cend = np.asarray(cends, dtype=np.int64)
-        # unclosed non-void: contents are empty (bare start tag semantics)
-        bare = cend < self.cstart
-        cend[bare] = self.cstart[bare]
-        self.cend = cend
-        self.cend_l = cend.tolist()
+        self.cend_l = cends
+        self._start_a = None
+        self._cstart_a = None
+        self._cend_a = None
         self._attr_src = attr_src
         self._attrs: list[dict | None] = [None] * n
         self.a_ids = a_ids
@@ -269,8 +331,10 @@ class DocIndex:
             if ends[i] > st_ends[i]:  # only containers can own children
                 stack.append(i)
         self.parent_l = parent_l
-        self.parent = np.asarray(parent_l, dtype=np.int64)
-        self.depth = np.asarray(depth_l, dtype=np.int64)
+        self.depth_l = depth_l
+        self._end_a = None
+        self._parent_a = None
+        self._depth_a = None
         self._children: list | None = None
         self._tag_arr = None
 
@@ -292,17 +356,17 @@ class DocIndex:
         return cached
 
     def outer(self, i: int) -> str:
-        return self.html[self.start[i]:self.end[i]]
+        return self.html[self.start_l[i]:self.end_l[i]]
 
     def contents(self, i: int) -> str:
-        return self.html[self.cstart[i]:self.cend[i]]
+        return self.html[self.cstart_l[i]:self.cend_l[i]]
 
     def starttag(self, i: int) -> str:
-        return self.html[self.start[i]:self.cstart[i]]
+        return self.html[self.start_l[i]:self.cstart_l[i]]
 
     def is_bare(self, i: int) -> bool:
         """True when the element is only a start tag (void or unclosed)."""
-        return self.end[i] == self.cstart[i]
+        return self.end_l[i] == self.cstart_l[i]
 
     def children_of(self, i: int) -> list[int]:
         if self._children is None:
@@ -318,23 +382,29 @@ class DocIndex:
 
     def text_between(self, lo: int, hi: int) -> str:
         """Concatenated plain text within [lo, hi) -- strip_tags semantics."""
-        if hi <= lo or len(self.tstart) == 0:
+        ts_l = self.tstart_l
+        te_l = self.tend_l
+        if hi <= lo or not ts_l:
             return ""
-        a = int(np.searchsorted(self.tend, lo, side="right"))
-        b = int(np.searchsorted(self.tstart, hi, side="left"))
+        a = bisect.bisect_right(te_l, lo)
+        b = bisect.bisect_left(ts_l, hi)
         if a >= b:
             return ""
         parts = []
         for k in range(a, b):
-            s_k = max(int(self.tstart[k]), lo)
-            e_k = min(int(self.tend[k]), hi)
+            s_k = ts_l[k]
+            if s_k < lo:
+                s_k = lo
+            e_k = te_l[k]
+            if e_k > hi:
+                e_k = hi
             if e_k > s_k:
                 parts.append(self.html[s_k:e_k])
         return "".join(parts)
 
     def node_text(self, i: int) -> str:
         """text() of a node = strip_tags of its outer HTML."""
-        return self.text_between(int(self.cstart[i]), int(self.cend[i]))
+        return self.text_between(self.cstart_l[i], self.cend_l[i])
 
     def nodes_in_range(self, lo: int, hi: int) -> np.ndarray:
         """Node ids whose start-tag '<' lies in [lo, hi), in doc order."""
@@ -349,7 +419,9 @@ _TRIM_RE = re.compile(r"\s\s+")
 def trim_html(s: str) -> str:
     """Reference trimHtml [:429-434]: collapse whitespace runs to one
     space; a pure-whitespace (non-empty) result becomes ''."""
+    if len(s) < 2:  # no 2+ whitespace run possible: skip the regex
+        return "" if s and s.isspace() else s
     s = _TRIM_RE.sub(" ", s)
-    if s and s.isspace():
+    if s.isspace():
         return ""
     return s
