@@ -1121,11 +1121,14 @@ def _q_charset_census(spark, sf_dir):
     Content-Encoding / 2: chunked / 3: ISO-8859-1 / 4: an UNKNOWN
     charset label ('x-martian', decoded via the utf-8 fallback and
     annotated) -- plus one hand-built Brotli-labeled record the stack
-    cannot decode (http_decode_error, zero chars) and one UNDECLARED
-    cp1251 record (round 7: undeclared_nonutf8 annotation -- the
-    legacy-charset tail is census-visible, not silent mojibake). The
-    (charset, content_encoding, status_class) rollup is then exact
-    modular arithmetic in SQL: mojibake risk as one queryable table."""
+    cannot decode (http_decode_error, zero chars), one UNDECLARED
+    cp1251 record with enough byte evidence for the round-7
+    statistical sniffer (sniffed_charset:cp1251 -- properly decoded,
+    detection call census-visible), and one undeclared record BELOW
+    the sniffer's evidence floor (undeclared_nonutf8 annotation -- the
+    residual mojibake tail stays census-visible). The (charset,
+    content_encoding, status_class) rollup is then exact modular
+    arithmetic in SQL: mojibake risk as one queryable table."""
     import os
 
     from parse_html_spark.sources.readers import (
@@ -1175,24 +1178,37 @@ def _q_charset_census(spark, sf_dir):
             + body + b"\r\n\r\n"
         )
         # one UNDECLARED legacy-charset record (round 7): cp1251 bytes,
-        # no BOM, no header charset, no meta declaration -- the
-        # utf-8-replace fallback decodes 20 bytes to 20 chars (11 of
-        # them U+FFFD) and the census must show it as
-        # undeclared_nonutf8, not clean 'ok'
-        cp_payload = "привет мир из cp1251".encode("cp1251")
-        cp_body = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-            + cp_payload
-        )
-        cp_rec = (
-            b"WARC/1.0\r\nWARC-Type: response\r\n"
-            b"WARC-Target-URI: http://cs/cp1251\r\n"
-            b"Content-Length: " + str(len(cp_body)).encode() + b"\r\n\r\n"
-            + cp_body + b"\r\n\r\n"
-        )
+        # no BOM, no header charset, no meta declaration -- Cyrillic
+        # word-run bytes clear the sniffer's evidence floor, so the
+        # census must show sniffed_charset (charset column 'cp1251',
+        # all 20 chars recovered, zero U+FFFD), not clean 'ok' and not
+        # mojibake-replace. The text contains 'я' (0xFF) like
+        # essentially all real Russian -- the byte that is undefined
+        # in cp1253 and resolves the Greek/Cyrillic strict-decode tie
+        cp_payload = "привет я мир из 1251".encode("cp1251")
+        # ...and one record BELOW the evidence floor (a single latin-1
+        # byte): the sniffer must refuse and the utf-8-replace fallback
+        # keeps the undeclared_nonutf8 bucket census-visible
+        und_payload = b"menu: caf\xe9 special"
+        recs = []
+        for uri, payload in (
+            ("http://cs/cp1251", cp_payload),
+            ("http://cs/undecl", und_payload),
+        ):
+            body = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + payload
+            )
+            recs.append(
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+                b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+                + body + b"\r\n\r\n"
+            )
         with open(path, "ab") as fh:
             fh.write(gzip.compress(rec))
-            fh.write(gzip.compress(cp_rec))
+            for r in recs:
+                fh.write(gzip.compress(r))
 
     _build_fixtures_spark_side(
         spark,
@@ -1812,6 +1828,8 @@ def oracle_sql() -> dict[str, str]:
             "'ok' AS status_class, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(length(text)) AS BIGINT) AS total_chars "
             "FROM documents WHERE doc_id % 5 = 3 "
+            "UNION ALL SELECT 'cp1251', 'identity', 'sniffed_charset', "
+            "CAST(1 AS BIGINT), CAST(20 AS BIGINT) "
             "UNION ALL SELECT 'utf-8', 'br', 'http_decode_error', "
             "CAST(1 AS BIGINT), CAST(0 AS BIGINT) "
             "UNION ALL SELECT 'utf-8', 'gzip', 'ok', "
@@ -1821,7 +1839,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT), CAST(sum(length(text)) AS BIGINT) "
             "FROM documents WHERE doc_id % 5 IN (0, 2) "
             "UNION ALL SELECT 'utf-8', 'identity', 'undeclared_nonutf8', "
-            "CAST(1 AS BIGINT), CAST(20 AS BIGINT) "
+            "CAST(1 AS BIGINT), CAST(18 AS BIGINT) "
             "UNION ALL SELECT 'utf-8', 'identity', 'unknown_charset', "
             "CAST(count(*) AS BIGINT), CAST(sum(length(text)) AS BIGINT) "
             "FROM documents WHERE doc_id % 5 = 4"

@@ -1197,18 +1197,20 @@ def test_external_decoder_hook_in_reader(spark, tmp_path):
 
 def test_undeclared_nonutf8_annotation(spark, tmp_path):
     """VERDICT r6 #2: no BOM, no declared charset anywhere, bytes not
-    UTF-8 -> the replace decode still succeeds but the record is
-    annotated 'undeclared_nonutf8:<n_replaced>' instead of 'ok', so
-    the census exposes the residual mojibake surface."""
+    UTF-8, and the statistical sniffer finds no strong candidate ->
+    the replace decode still succeeds but the record is annotated
+    'undeclared_nonutf8:<n_replaced>' instead of 'ok', so the census
+    exposes the residual mojibake surface."""
     from parse_html_spark.sources.readers import (
         _decode_charset,
         read_span_docs_warc,
         write_warc,
     )
 
-    # unit: shift-jis bytes with no declaration
-    sj = "日本語のページ".encode("shift-jis")
-    text, cs, err = _decode_charset(sj, None)
+    # unit: a lone latin-1 byte -- too little evidence for the sniffer
+    # (below _SNIFF_MIN_NONASCII), so it stays in the annotated bucket
+    und = b"menu: caf\xe9 special"
+    text, cs, err = _decode_charset(und, None)
     assert cs == "utf-8" and err is not None
     assert err.startswith("undeclared_nonutf8:")
     assert int(err.split(":")[1]) >= 1
@@ -1216,14 +1218,14 @@ def test_undeclared_nonutf8_annotation(spark, tmp_path):
     assert _decode_charset("ok � text".encode(), None)[2] is None
     assert _decode_charset(b"plain ascii", None)[2] is None
     # declared charsets are NOT this bucket (they decode per label)
+    sj = "日本語のページ".encode("shift-jis")
     assert _decode_charset(sj, "shift-jis")[2] is None
 
     d = tmp_path / "undecl"
     d.mkdir()
     pages = [
         ("http://u/ok", "clean utf-8 é".encode("utf-8"), {}),
-        ("http://u/cp1251", "привет мир".encode("cp1251"), {}),
-        ("http://u/sj", sj, {}),
+        ("http://u/und", und, {}),
         # declared legacy page: decodes per declaration, stays ok
         (
             "http://u/decl",
@@ -1238,12 +1240,85 @@ def test_undeclared_nonutf8_annotation(spark, tmp_path):
     }
     assert rows["http://u/ok"]["status"] == "ok"
     assert rows["http://u/decl"]["status"] == "ok"
-    assert rows["http://u/cp1251"]["status"].startswith("undeclared_nonutf8:")
-    assert rows["http://u/sj"]["status"].startswith("undeclared_nonutf8:")
-    # the text still ingested (replace decode), riddled with U+FFFD
-    assert "�" in rows["http://u/sj"]["spans"][0]["text"]
+    assert rows["http://u/und"]["status"].startswith("undeclared_nonutf8:")
+    # the text still ingested (replace decode), with the U+FFFD scar
+    assert "�" in rows["http://u/und"]["spans"][0]["text"]
     # raise mode stays tolerant: it's an annotation, not a failure
-    assert read_span_docs_warc(spark, str(d)).count() == 4
+    assert read_span_docs_warc(spark, str(d)).count() == 3
+
+
+def test_sniffed_charset_detection(spark, tmp_path):
+    """Round 7 (VERDICT r6 'missing' #2 second half): undeclared
+    legacy-charset pages with ENOUGH byte evidence are statistically
+    detected (stdlib codecs only), decoded via the detected codec, and
+    annotated 'sniffed_charset:<codec>' -- recovered text instead of
+    U+FFFD soup, and the census still shows the detection call."""
+    from parse_html_spark.sources.readers import (
+        _decode_charset,
+        _sniff_legacy_charset,
+        read_span_docs_warc,
+        write_warc,
+    )
+
+    matrix = [
+        ("吾輩は猫である。名前はまだ無い。どこで生れたか見当がつかぬ。",
+         "shift_jis", "shift_jis"),
+        ("国境の長いトンネルを抜けると雪国であった。夜の底が白くなった。",
+         "euc_jp", "euc_jp"),
+        ("人人生而自由，在尊严和权利上一律平等。他们赋有理性和良心。",
+         "gb18030", "gb18030"),
+        ("人人生而自由，在尊嚴和權利上一律平等。他們賦有理性和良心。",
+         "big5", "big5"),
+        ("모든 인간은 태어날 때부터 자유로우며 그 존엄과 권리에 있어 "
+         "동등하다.", "euc_kr", "euc_kr"),
+        ("Все люди рождаются свободными и равными в своём достоинстве "
+         "и правах.", "cp1251", "cp1251"),
+        ("Все люди рождаются свободными и равными в своём достоинстве "
+         "и правах.", "koi8-r", "koi8-r"),
+        ("L'été dernier, à Montréal, le cœur de la cité était déjà "
+         "très animé — crêpes.", "cp1252", "cp1252"),
+        ("Όλοι οι άνθρωποι γεννιούνται ελεύθεροι και ίσοι στην "
+         "αξιοπρέπεια.", "cp1253", "cp1253"),
+    ]
+    for s, enc, want in matrix:
+        raw = s.encode(enc)
+        assert _sniff_legacy_charset(raw) == want, (enc, want)
+        text, cs, err = _decode_charset(raw, None)
+        assert cs == want and err == f"sniffed_charset:{want}"
+        assert text == s  # fully recovered, zero U+FFFD
+    # refusals: valid UTF-8 / ASCII / noise never get re-attributed
+    assert _sniff_legacy_charset("日本語テキスト".encode()) is None
+    assert _sniff_legacy_charset(b"plain ascii only") is None
+    assert _sniff_legacy_charset(bytes(range(128, 256)) * 4) is None
+
+    # an unusable DECLARED label also gets the sniff (declaration
+    # recorded in the annotation detail, class still sniffed_charset)
+    ru = matrix[5][0].encode("cp1251")
+    text, cs, err = _decode_charset(ru, "x-legacy-mystery")
+    assert cs == "cp1251"
+    assert err == "sniffed_charset:cp1251:declared=x-legacy-mystery"
+
+    # end-to-end through the WARC response path, both modes
+    d = tmp_path / "sniff"
+    d.mkdir()
+    sj_doc = "<html><body>" + "これは宣言のない古い日本語のページです。" * 2 \
+        + "</body></html>"
+    pages = [
+        ("http://s/ja", sj_doc.encode("shift_jis"), {}),
+        ("http://s/ok", "plain utf-8 page".encode(), {}),
+    ]
+    write_warc(str(d / "s.warc.gz"), pages, gzip_members=True)
+    rows = {
+        r["doc_id"].split("#")[0]: r
+        for r in read_span_docs_warc(spark, str(d), on_error="flag").collect()
+    }
+    assert rows["http://s/ja"]["status"] == "sniffed_charset:shift_jis"
+    assert rows["http://s/ja"]["charset"] == "shift_jis"
+    assert "古い日本語のページ" in rows["http://s/ja"]["spans"][0]["text"]
+    assert "�" not in rows["http://s/ja"]["spans"][0]["text"]
+    assert rows["http://s/ok"]["status"] == "ok"
+    # raise mode: detection is an annotation, not a failure
+    assert read_span_docs_warc(spark, str(d)).count() == 2
 
 
 def test_gz_chunk_stream_matches_batch_gunzip():
