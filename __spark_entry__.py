@@ -700,6 +700,76 @@ def _q_quality(spark, sf_dir):
     )
 
 
+def _gopher_page(docs):
+    """Deterministic multiline page derived from each document (the
+    sf documents are single-line, so line/paragraph structure is
+    synthesized by doc_id % 4 with substring arithmetic both engines
+    express identically -- the spans_media trick): 0 = distinct lines
+    in two paragraphs / 1 = a duplicated two-line paragraph /
+    2 = bullet-list lines / 3 = ellipsis-terminated lines with one
+    duplicate."""
+    a = F.substring(F.col("text"), 1, 40)
+    b = F.substring(F.col("text"), 41, 40)
+    c = F.substring(F.col("text"), 81, 40)
+    m = F.col("doc_id") % 4
+    nl = F.lit("\n")
+    page = (
+        F.when(m == 0, F.concat(a, nl, b, F.lit("\n\n"), c))
+        .when(m == 1, F.concat(a, nl, b, F.lit("\n\n"), a, nl, b))
+        .when(
+            m == 2,
+            F.concat(
+                a, F.lit("\n- item one\n- item two\n- item three\n"), b
+            ),
+        )
+        .otherwise(
+            F.concat(a, F.lit("...\n"), b, F.lit("…\n"), a, F.lit("..."))
+        )
+    )
+    return docs.select("doc_id", page.alias("page"))
+
+
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher/C4 repetition-and-structure quality rules (public-paper
+    provenance: Rae et al. 2021 Table A1, Raffel et al. 2020 §2.2)
+    over a derived multiline page: duplicate line/paragraph counts,
+    bullet and ellipsis line counts, and the integer-arithmetic
+    keep/reject verdict with the first failing rule as the reason.
+    Everything is a pure Column expression (whole-stage codegen); the
+    output is all ints/bool/string, so the oracle hash has no
+    floating-point surface at all."""
+    from parse_html_spark.functions.textfn import (
+        gopher_filter,
+        repetition_metrics,
+    )
+
+    pages = _gopher_page(_documents(spark, sf_dir))
+    rep = repetition_metrics(F.col("page"))
+    verdict = gopher_filter(F.col("page"))
+    return pages.select(
+        "doc_id",
+        rep["n_lines"].alias("n_lines"),
+        rep["dup_lines"].alias("dup_lines"),
+        rep["n_paras"].alias("n_paras"),
+        rep["dup_paras"].alias("dup_paras"),
+        rep["bullet_lines"].alias("bullet_lines"),
+        rep["ellipsis_lines"].alias("ellipsis_lines"),
+        verdict["keep"].alias("keep"),
+        verdict["reason"].alias("reason"),
+    )
+
+
+def _q_top_token(spark, sf_dir):
+    """Per-document top-token repetition signal (RefinedWeb-style
+    top-n-gram fraction, n=1): explode -> partial-aggregated
+    (doc, token) counts -> one shuffle on the doc key shared by the
+    total-count and argmax windows. Oracle: the same unnest + window
+    in DuckDB, ties broken on the larger token in both."""
+    from parse_html_spark.functions.textfn import top_token
+
+    return top_token(_documents(spark, sf_dir))
+
+
 def _q_topk_per_query(spark, sf_dir):
     """Batch top-k per query row (broadcast the small query side, window-
     rank the similarities; the corpus vectors never shuffle). Oracle:
@@ -1460,6 +1530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": _q_text_metrics,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
+        "gopher_quality": _q_gopher_quality,
+        "top_token": _q_top_token,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1647,6 +1719,75 @@ def oracle_sql() -> dict[str, str]:
             f"len(list_filter({ltok}, t -> t IN ({stop_list}))) AS stop, "
             "length(text) AS total, length(text) - length(regexp_replace("
             "text, '[^\\w\\s]', '', 'g')) AS punct FROM documents)"
+        ),
+        # gopher_quality: the SAME doc_id%4 page derivation, list ops,
+        # and integer-arithmetic rule chain as _q_gopher_quality -- the
+        # output has no floating-point surface at all
+        "gopher_quality": (
+            "WITH p AS (SELECT doc_id, CASE doc_id % 4 "
+            "WHEN 0 THEN substring(text,1,40) || chr(10) || "
+            "substring(text,41,40) || chr(10) || chr(10) || "
+            "substring(text,81,40) "
+            "WHEN 1 THEN substring(text,1,40) || chr(10) || "
+            "substring(text,41,40) || chr(10) || chr(10) || "
+            "substring(text,1,40) || chr(10) || substring(text,41,40) "
+            "WHEN 2 THEN substring(text,1,40) || chr(10) || '- item one' "
+            "|| chr(10) || '- item two' || chr(10) || '- item three' || "
+            "chr(10) || substring(text,41,40) "
+            "ELSE substring(text,1,40) || '...' || chr(10) || "
+            "substring(text,41,40) || '…' || chr(10) || "
+            "substring(text,1,40) || '...' END AS page FROM documents), "
+            "m AS (SELECT doc_id, "
+            "list_filter(list_transform(string_split(page, chr(10)), "
+            "x -> trim(x)), x -> x <> '') AS lines, "
+            "list_filter(list_transform(regexp_split_to_array(page, "
+            "'\\n\\n+'), x -> trim(x)), x -> x <> '') AS paras, "
+            "len(regexp_split_to_array(trim(page), '\\s+')) AS n_tok, "
+            "length(regexp_replace(page, '\\s', '', 'g')) AS tok_chars, "
+            "length(page) - length(replace(page, '#', '')) AS hash_chars, "
+            "CAST((length(page) - length(replace(page, '...', ''))) / 3 "
+            "AS BIGINT) AS ell_seqs, "
+            "len(list_filter(list_distinct(regexp_split_to_array("
+            f"trim(lower(page)), '\\s+')), t -> t IN ({stop_list}))) "
+            "AS n_stop FROM p), "
+            "s AS (SELECT doc_id, len(lines) AS n_lines, "
+            "len(lines) - len(list_distinct(lines)) AS dup_lines, "
+            "len(paras) AS n_paras, "
+            "len(paras) - len(list_distinct(paras)) AS dup_paras, "
+            "len(list_filter(lines, x -> starts_with(x, '- ') OR "
+            "starts_with(x, '* ') OR starts_with(x, '•'))) "
+            "AS bullet_lines, "
+            "len(list_filter(lines, x -> ends_with(x, '...') OR "
+            "ends_with(x, '…'))) AS ellipsis_lines, "
+            "n_tok, tok_chars, hash_chars, ell_seqs, n_stop FROM m) "
+            "SELECT doc_id, n_lines, dup_lines, n_paras, dup_paras, "
+            "bullet_lines, ellipsis_lines, reason = 'keep' AS keep, "
+            "reason FROM (SELECT *, CASE "
+            "WHEN n_tok < 10 THEN 'too_few_tokens' "
+            "WHEN n_tok > 100000 THEN 'too_many_tokens' "
+            "WHEN tok_chars < 3 * n_tok THEN 'bad_mean_token_len' "
+            "WHEN tok_chars > 10 * n_tok THEN 'bad_mean_token_len' "
+            "WHEN (hash_chars + ell_seqs) * 10 > n_tok "
+            "THEN 'symbol_ratio' "
+            "WHEN bullet_lines * 10 > n_lines * 9 THEN 'bullet_lines' "
+            "WHEN ellipsis_lines * 10 > n_lines * 3 "
+            "THEN 'ellipsis_lines' "
+            "WHEN dup_lines * 10 > n_lines * 3 THEN 'dup_lines' "
+            "WHEN dup_paras * 10 > n_paras * 3 THEN 'dup_paras' "
+            "WHEN n_stop < 2 THEN 'too_few_stopwords' "
+            "ELSE 'keep' END AS reason FROM s)"
+        ),
+        "top_token": (
+            f"WITH toks AS (SELECT doc_id, unnest({ltok_f}) AS tok "
+            "FROM documents), "
+            "counts AS (SELECT doc_id, tok, count(*) AS c FROM toks "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT doc_id, tok, c, "
+            "CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) "
+            "AS n_tokens, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY c DESC, tok DESC) AS rn FROM counts) "
+            "SELECT doc_id, tok AS top_tok, c AS top_count, n_tokens, "
+            "round(c / n_tokens, 4) AS top_frac FROM r WHERE rn = 1"
         ),
         "fingerprint": f"SELECT doc_id, {fp} AS fp FROM documents",
         "dedup_exact": (

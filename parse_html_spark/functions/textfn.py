@@ -94,3 +94,164 @@ def fingerprint(col) -> Column:
     (identical to DuckDB md5 on the same normalization)."""
     norm = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
     return F.md5(norm)
+
+
+# ---------------------------------------------------------------------------
+# Repetition / structure quality signals (public-paper rules: Gopher
+# [Rae et al. 2021, Table A1], C4 [Raffel et al. 2020 §2.2], RefinedWeb
+# [Penedo et al. 2023]). All pure Column expressions -- the lambdas
+# below touch ONLY their element argument (see build notes: row-level
+# exprs inside higher-order lambdas re-evaluate per element).
+# ---------------------------------------------------------------------------
+
+
+def nonempty_lines(col) -> Column:
+    """Trimmed non-empty lines of text (split on newline)."""
+    return F.filter(
+        F.transform(F.split(col, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def nonempty_paragraphs(col) -> Column:
+    """Trimmed non-empty paragraphs (split on blank line)."""
+    return F.filter(
+        F.transform(F.split(col, r"\n\n+"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def repetition_metrics(col) -> Column:
+    """Gopher-style repetition/structure counters as a struct of exact
+    integers (ratios are for the caller so the thresholds below can be
+    evaluated in overflow-safe integer arithmetic):
+
+      n_lines / n_paras    -- non-empty trimmed lines / paragraphs
+      dup_lines/dup_paras  -- count minus distinct count (the numerator
+                              of Gopher's duplicate line/paragraph
+                              fraction)
+      bullet_lines         -- lines starting with '- ', '* ' or a
+                              bullet char (C4 heuristic)
+      ellipsis_lines       -- lines ending with '...' or U+2026
+    """
+    lines = nonempty_lines(col)
+    paras = nonempty_paragraphs(col)
+    n_lines = F.size(lines)
+    n_paras = F.size(paras)
+    return F.struct(
+        n_lines.alias("n_lines"),
+        (n_lines - F.size(F.array_distinct(lines))).alias("dup_lines"),
+        n_paras.alias("n_paras"),
+        (n_paras - F.size(F.array_distinct(paras))).alias("dup_paras"),
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("- ")
+                | x.startswith("* ")
+                | x.startswith("•"),
+            )
+        ).alias("bullet_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.endswith("...") | x.endswith("…"),
+            )
+        ).alias("ellipsis_lines"),
+    )
+
+
+def symbol_counts(col) -> Column:
+    """(hash chars, ellipsis sequences) -- the numerators of Gopher's
+    symbol-to-word ratio, as exact integers."""
+    hashes = F.length(col) - F.length(F.regexp_replace(col, r"#", ""))
+    ell = (
+        F.length(col) - F.length(F.regexp_replace(col, r"\.\.\.", ""))
+    ) / F.lit(3)
+    return F.struct(
+        hashes.cast("long").alias("hash_chars"),
+        ell.cast("long").alias("ellipsis_seqs"),
+    )
+
+
+def gopher_filter(col) -> Column:
+    """Gopher-rules keep/reject verdict as a struct (keep boolean +
+    first-failing-rule reason). Thresholds follow Rae et al. 2021
+    Table A1 (token-count window widened downward for short-doc
+    corpora); every comparison is integer arithmetic, so the verdict
+    is bit-identical across engines:
+
+      too_few_tokens / too_many_tokens  -- n_tok outside [10, 100000]
+      bad_mean_token_len                -- mean token length outside
+                                           [3, 10]  (3n <= chars <= 10n)
+      symbol_ratio       -- (#hash + #ellipsis-seq) * 10 > n_tok
+      bullet_lines       -- bullet lines * 10 > 9 * lines
+      ellipsis_lines     -- ellipsis lines * 10 > 3 * lines
+      dup_lines          -- duplicate lines * 10 > 3 * lines
+      dup_paras          -- duplicate paragraphs * 10 > 3 * paragraphs
+      too_few_stopwords  -- fewer than 2 DISTINCT stopwords present
+    """
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    rep = repetition_metrics(col)
+    sym = symbol_counts(col)
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(F.lower(col))),
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+        )
+    )
+    reason = (
+        F.when(n_tok < 10, F.lit("too_few_tokens"))
+        .when(n_tok > 100000, F.lit("too_many_tokens"))
+        .when(tok_chars < 3 * n_tok, F.lit("bad_mean_token_len"))
+        .when(tok_chars > 10 * n_tok, F.lit("bad_mean_token_len"))
+        .when(
+            (sym["hash_chars"] + sym["ellipsis_seqs"]) * 10 > n_tok,
+            F.lit("symbol_ratio"),
+        )
+        .when(
+            rep["bullet_lines"] * 10 > rep["n_lines"] * 9,
+            F.lit("bullet_lines"),
+        )
+        .when(
+            rep["ellipsis_lines"] * 10 > rep["n_lines"] * 3,
+            F.lit("ellipsis_lines"),
+        )
+        .when(rep["dup_lines"] * 10 > rep["n_lines"] * 3, F.lit("dup_lines"))
+        .when(rep["dup_paras"] * 10 > rep["n_paras"] * 3, F.lit("dup_paras"))
+        .when(n_stop < 2, F.lit("too_few_stopwords"))
+        .otherwise(F.lit("keep"))
+    )
+    return F.struct(
+        (reason == "keep").alias("keep"), reason.alias("reason")
+    )
+
+
+def top_token(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Most frequent lowercase token per document (RefinedWeb-style
+    top-n-gram repetition signal, n=1) as two hash aggregations, both
+    map-side combined: explode -> (doc, token) count -> per-doc argmax
+    via max_by. The first exchange carries partial-aggregated count
+    rows, the second ONE row per document -- no sort, no window. Ties
+    break on the lexicographically LARGEST token (max_by over a
+    (count, token) struct), deterministic in any engine. Returns
+    (id, top_tok, top_count, n_tokens, top_frac); documents with no
+    tokens are absent (nothing to argmax)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.groupBy(id_col).agg(
+        F.max_by("tok", F.struct(F.col("c"), F.col("tok"))).alias("top_tok"),
+        F.max("c").alias("top_count"),
+        F.sum("c").alias("n_tokens"),
+    )
+    return top.select(
+        F.col(id_col),
+        "top_tok",
+        "top_count",
+        "n_tokens",
+        F.round(F.col("top_count") / F.col("n_tokens"), 4).alias("top_frac"),
+    )

@@ -162,6 +162,146 @@ def test_textfn_on_real_table(spark):
     assert out["fp"].str.len().eq(32).all()
 
 
+def test_gopher_filter_each_rule(spark):
+    """Every Gopher/C4 rule branch fires on a hand-crafted doc and the
+    counters behind it are exact (public-paper rules: Rae et al. 2021
+    Table A1, Raffel et al. 2020 §2.2)."""
+    from parse_html_spark.functions.textfn import (
+        gopher_filter,
+        repetition_metrics,
+    )
+
+    good = (
+        "the quick brown fox jumps over a lazy dog on the mat\n"
+        "another line full of plain readable words is here\n\n"
+        "second paragraph with more of the usual text in it"
+    )
+    cases = [
+        ("good", good, True, "keep"),
+        ("short", "the cat sat on a mat", False, "too_few_tokens"),
+        ("long", "the of " + "word " * 100001, False, "too_many_tokens"),
+        (
+            "tiny_tokens",
+            "a b c d e f g h i j k l m n o p q r s t the of",
+            False,
+            "bad_mean_token_len",
+        ),
+        (
+            "huge_tokens",
+            "the anticonstitutionnellement " + "incomprehensibilities " * 10,
+            False,
+            "bad_mean_token_len",
+        ),
+        (
+            "symbols",
+            "the of ### stuff ### tagged ### words ### here ###",
+            False,
+            "symbol_ratio",
+        ),
+        (
+            "bullets",
+            "- the first item here\n- a second item now\n- third thing too",
+            False,
+            "bullet_lines",
+        ),
+        (
+            "ellipses",
+            "the story trails off...\nand keeps trailing on and on...\n"
+            "a third trailing line of it…\nonly one plain line here",
+            False,
+            "ellipsis_lines",
+        ),
+        (
+            "dup_lines",
+            "the same line of words here\nthe same line of words here\n"
+            "the same line of words here\na different one with it\n"
+            "another different line too\nlast unique line of all",
+            False,
+            "dup_lines",
+        ),
+        (
+            # the duplicated paragraph is ONE line amid a long unique
+            # paragraph: paragraph dup fraction 2/3 trips while the
+            # line dup fraction stays 1/10 (identical paragraphs
+            # always duplicate lines, so the ratios must be decoupled)
+            "dup_paras",
+            "the repeated tiny paragraph\n\n"
+            "the first long paragraph has many lines in it\n"
+            "a second line of the long paragraph follows\n"
+            "a third line keeps the line count growing\n"
+            "a fourth line keeps it growing more\n"
+            "a fifth line of plain words sits here\n"
+            "a sixth line of plain words sits here too\n"
+            "a seventh line nearly finishes the block\n"
+            "an eighth line finishes the block of text\n\n"
+            "the repeated tiny paragraph",
+            False,
+            "dup_paras",
+        ),
+        (
+            "no_stopwords",
+            "lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+            "eiusmod tempor incididunt labore dolore",
+            False,
+            "too_few_stopwords",
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(n, t) for n, t, _, _ in cases], "name string, text string"
+    )
+    rows = {
+        r["name"]: r
+        for r in df.select(
+            "name", gopher_filter(F.col("text")).alias("v")
+        ).collect()
+    }
+    for name, _, keep, reason in cases:
+        assert rows[name]["v"]["keep"] == keep, (name, rows[name]["v"])
+        assert rows[name]["v"]["reason"] == reason, (name, rows[name]["v"])
+
+    # counter exactness on a structured page
+    page = "alpha one\nalpha one\n- item\ntail...\n\npara\n\npara"
+    m = (
+        spark.createDataFrame([(page,)], "text string")
+        .select(repetition_metrics(F.col("text")).alias("m"))
+        .head()["m"]
+    )
+    assert m["n_lines"] == 6 and m["dup_lines"] == 2
+    assert m["n_paras"] == 3 and m["dup_paras"] == 1
+    assert m["bullet_lines"] == 1 and m["ellipsis_lines"] == 1
+
+
+def test_top_token_counts_and_plan(spark):
+    """top_token: exact argmax + totals, largest-token tie-break, and
+    ONE shuffle exchange (the two windows share the doc-key
+    partitioning)."""
+    from parse_html_spark.functions.textfn import top_token
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat the dog the bird and cat"),
+            (2, "b a b a"),  # tie 2-2 -> larger token 'b' wins
+            (3, "Single"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in top_token(df).collect()}
+    assert rows[1]["top_tok"] == "the" and rows[1]["top_count"] == 3
+    assert rows[1]["n_tokens"] == 8
+    assert rows[2]["top_tok"] == "b" and rows[2]["top_count"] == 2
+    assert rows[3]["top_tok"] == "single" and rows[3]["top_frac"] == 1.0
+    plan = top_token(df)._jdf.queryExecution().executedPlan().toString()
+    # both aggs map-side combined: the first exchange carries
+    # partial-counted (doc, token) rows, the second ONE partial-argmax
+    # row per doc (struct-ordered max_by is SortAggregate by
+    # implementation -- per-partition sort on compact rows -- but
+    # never a Window and never more than the two exchanges)
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("partial_count") == 1, plan
+    assert "partial_max_by" in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_media_feature_stub(spark):
     from parse_html_spark.functions.media import (
         attach_payload,
