@@ -759,6 +759,52 @@ def _q_gopher_quality(spark, sf_dir):
     )
 
 
+def _q_bpe_tokens(spark, sf_dir):
+    """BPE-pretokenizer token counting (the unit an LLM tokenizer
+    splits further) next to the whitespace count: one lookahead-free
+    regex that runs identically under Java regex (Spark) and RE2
+    (DuckDB) -- a codegen'd projection, no Python."""
+    from parse_html_spark.functions.textfn import (
+        bpe_token_count,
+        token_count,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        token_count(F.col("text")).alias("ws_tokens"),
+    )
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII redaction + census over documents with doc_id%4-injected
+    PII (none / email / IPv4 / phone -- the sf corpus itself is
+    synthetic and PII-free, so the fixture injects deterministic
+    matches both engines build identically). Redacted text goes into
+    the hash gate, so placeholder substitution is checked
+    byte-for-byte, not just counted."""
+    from parse_html_spark.functions.textfn import pii_counts, redact_pii
+
+    docs = _documents(spark, sf_dir)
+    m = F.col("doc_id") % 4
+    injected = F.concat(
+        F.col("text"),
+        F.when(m == 1, F.lit(" contact bob.smith+x@example.co.uk now"))
+        .when(m == 2, F.lit(" from host 10.0.0.255 today"))
+        .when(m == 3, F.lit(" call +15551234567 soon"))
+        .otherwise(F.lit("")),
+    )
+    p = pii_counts(injected)
+    return docs.select(
+        "doc_id",
+        redact_pii(injected).alias("redacted"),
+        p["n_email"].alias("n_email"),
+        p["n_ipv4"].alias("n_ipv4"),
+        p["n_phone"].alias("n_phone"),
+    )
+
+
 def _q_top_token(spark, sf_dir):
     """Per-document top-token repetition signal (RefinedWeb-style
     top-n-gram fraction, n=1): explode -> partial-aggregated
@@ -1532,6 +1578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "gopher_quality": _q_gopher_quality,
         "top_token": _q_top_token,
+        "bpe_tokens": _q_bpe_tokens,
+        "pii_redact": _q_pii_redact,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1564,6 +1612,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from parse_html_spark.functions.textfn import (
+        BPE_TOKEN_RE,
+        PII_PATTERNS,
+    )
+
+    bpe_re = BPE_TOKEN_RE.replace("'", "''")
+    pii = {kind: (pat, repl) for kind, pat, repl in PII_PATTERNS}
     stop_list = "'the','a','of','and','to','in','is','it','on','for'"
     ltok_f = (
         "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
@@ -1776,6 +1831,29 @@ def oracle_sql() -> dict[str, str]:
             "WHEN dup_paras * 10 > n_paras * 3 THEN 'dup_paras' "
             "WHEN n_stop < 2 THEN 'too_few_stopwords' "
             "ELSE 'keep' END AS reason FROM s)"
+        ),
+        "bpe_tokens": (
+            "SELECT doc_id, len(list_filter(regexp_extract_all(text, "
+            f"'{bpe_re}'), m -> trim(m) <> '')) AS bpe_tokens, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END "
+            "AS ws_tokens FROM documents"
+        ),
+        "pii_redact": (
+            "WITH p AS (SELECT doc_id, text || CASE doc_id % 4 "
+            "WHEN 1 THEN ' contact bob.smith+x@example.co.uk now' "
+            "WHEN 2 THEN ' from host 10.0.0.255 today' "
+            "WHEN 3 THEN ' call +15551234567 soon' ELSE '' END AS t "
+            "FROM documents) "
+            "SELECT doc_id, regexp_replace(regexp_replace("
+            f"regexp_replace(t, '{pii['email'][0]}', "
+            f"'{pii['email'][1]}', 'g'), '{pii['ipv4'][0]}', "
+            f"'{pii['ipv4'][1]}', 'g'), '{pii['phone'][0]}', "
+            f"'{pii['phone'][1]}', 'g') AS redacted, "
+            f"len(regexp_extract_all(t, '{pii['email'][0]}')) AS n_email, "
+            f"len(regexp_extract_all(t, '{pii['ipv4'][0]}')) AS n_ipv4, "
+            f"len(regexp_extract_all(t, '{pii['phone'][0]}')) AS n_phone "
+            "FROM p"
         ),
         "top_token": (
             f"WITH toks AS (SELECT doc_id, unnest({ltok_f}) AS tok "

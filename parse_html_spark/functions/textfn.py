@@ -228,6 +228,64 @@ def gopher_filter(col) -> Column:
     )
 
 
+# BPE-style pretokenizer regex (GPT-2 family, lookahead-free so the
+# SAME pattern runs under Java regex (Spark) and RE2 (DuckDB oracle)):
+# contraction suffixes, space-prefixed letter runs, space-prefixed
+# digit runs, space-prefixed punctuation runs, whitespace runs.
+BPE_TOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_token_count(col) -> Column:
+    """Subword-ish token count: the number of BPE pretokenizer matches
+    (the unit an LLM tokenizer would split further). Whitespace-run
+    matches are NOT counted as tokens; a leading ' word' match is one."""
+    matches = F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0)
+    return F.size(F.filter(matches, lambda m: F.trim(m) != ""))
+
+
+# PII patterns, ordered so earlier redactions cannot manufacture later
+# matches (emails contain dots+digits, so they go before IPv4/phone).
+# Conservative dialect-portable syntax only: no lookaround, no
+# backreferences -- identical semantics under Java regex and RE2.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+    ("phone", r"\+\d{9,15}", "<PHONE>"),
+)
+
+
+def pii_counts(col) -> Column:
+    """Per-kind PII match counts as a struct of exact integers
+    (n_email, n_ipv4, n_phone) -- the census side of redact_pii.
+    Counted on the ORIGINAL text, before any redaction."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(col, F.lit(pat), 0)).alias(
+                f"n_{kind}"
+            )
+            for kind, pat, _ in PII_PATTERNS
+        ]
+    )
+
+
+def redact_pii(col) -> Column:
+    """Replace emails, IPv4 addresses and international phone numbers
+    with typed placeholders (<EMAIL>/<IPV4>/<PHONE>), applied in an
+    order that prevents one redaction from creating another kind's
+    match. Pure Column expression; the 100 TB path is one codegen'd
+    projection per row."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def top_token(df, id_col: str = "doc_id", text_col: str = "text"):
     """Most frequent lowercase token per document (RefinedWeb-style
     top-n-gram repetition signal, n=1) as two hash aggregations, both

@@ -302,6 +302,61 @@ def test_top_token_counts_and_plan(spark):
     assert "Window" not in plan, plan
 
 
+def test_bpe_token_count_units(spark):
+    """BPE pretokenizer counting: contractions split, space-prefixed
+    runs are one token each, whitespace runs are never tokens, and the
+    pattern stays lookahead-free (RE2-portable for the oracle twin)."""
+    from parse_html_spark.functions.textfn import (
+        BPE_TOKEN_RE,
+        bpe_token_count,
+    )
+
+    assert "(?=" not in BPE_TOKEN_RE and "(?!" not in BPE_TOKEN_RE
+    cases = [
+        ("don't stop", 3),  # don / 't / ' stop'
+        ("", 0),
+        ("   ", 0),
+        ("abc", 1),
+        ("hello world", 2),
+        ("42 cats!!", 3),
+        ("it's", 2),
+    ]
+    df = spark.createDataFrame(cases, "text string, want long")
+    out = df.select("text", "want", bpe_token_count(F.col("text")).alias("n"))
+    bad = [(r["text"], r["want"], r["n"]) for r in out.collect() if r["n"] != r["want"]]
+    assert not bad, bad
+
+
+def test_pii_redaction_units(spark):
+    """redact_pii replaces every pattern kind everywhere, pii_counts
+    counts on the original text, and non-PII lookalikes survive."""
+    from parse_html_spark.functions.textfn import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail a@b.io and c.d+e@f-g.org now",),
+            ("hosts 10.0.0.1 and 192.168.1.255, ver 1.2 not 1.2.3.4.5",),
+            ("call +491701234567 or +15551234567; plus +1 is too short",),
+            ("clean text with no pii at all",),
+        ],
+        "text string",
+    )
+    rows = df.select(
+        redact_pii(F.col("text")).alias("r"),
+        pii_counts(F.col("text")).alias("p"),
+    ).collect()
+    assert rows[0]["r"] == "mail <EMAIL> and <EMAIL> now"
+    assert rows[0]["p"]["n_email"] == 2
+    # 1.2.3.4.5 contains a 4-octet \b-bounded prefix 1.2.3.4 -- the
+    # conservative pattern redacts it; plain 1.2 survives
+    assert rows[1]["r"] == "hosts <IPV4> and <IPV4>, ver 1.2 not <IPV4>.5"
+    assert rows[1]["p"]["n_ipv4"] == 3
+    assert rows[2]["r"] == "call <PHONE> or <PHONE>; plus +1 is too short"
+    assert rows[2]["p"]["n_phone"] == 2
+    assert rows[3]["r"] == "clean text with no pii at all"
+    assert tuple(rows[3]["p"]) == (0, 0, 0)
+
+
 def test_media_feature_stub(spark):
     from parse_html_spark.functions.media import (
         attach_payload,
