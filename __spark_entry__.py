@@ -759,6 +759,22 @@ def _q_gopher_quality(spark, sf_dir):
     )
 
 
+def _q_line_dedup(spark, sf_dir):
+    """C4-style GLOBAL line dedup over the derived multiline pages:
+    the three bullet lines shared by every doc_id%4==2 page survive
+    only in the first such document corpus-wide, and within-doc
+    repeats (m=1/m=3 pages) drop too. The rebuilt page text itself
+    goes through the hash gate, so first-occurrence attribution and
+    line-order reassembly are checked byte-for-byte. min_chars=5 so
+    only empty/fragment lines bypass dedup."""
+    from parse_html_spark.functions.dedup import dedup_lines_global
+
+    pages = _gopher_page(_documents(spark, sf_dir)).withColumnRenamed(
+        "page", "text"
+    )
+    return dedup_lines_global(pages, min_chars=5)
+
+
 def _q_bpe_tokens(spark, sf_dir):
     """BPE-pretokenizer token counting (the unit an LLM tokenizer
     splits further) next to the whitespace count: one lookahead-free
@@ -1580,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_token": _q_top_token,
         "bpe_tokens": _q_bpe_tokens,
         "pii_redact": _q_pii_redact,
+        "line_dedup": _q_line_dedup,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1619,6 +1636,23 @@ def oracle_sql() -> dict[str, str]:
 
     bpe_re = BPE_TOKEN_RE.replace("'", "''")
     pii = {kind: (pat, repl) for kind, pat, repl in PII_PATTERNS}
+    # the _gopher_page doc_id%4 multiline derivation (shared by the
+    # gopher_quality and line_dedup oracles)
+    gq_page = (
+        "SELECT doc_id, CASE doc_id % 4 "
+        "WHEN 0 THEN substring(text,1,40) || chr(10) || "
+        "substring(text,41,40) || chr(10) || chr(10) || "
+        "substring(text,81,40) "
+        "WHEN 1 THEN substring(text,1,40) || chr(10) || "
+        "substring(text,41,40) || chr(10) || chr(10) || "
+        "substring(text,1,40) || chr(10) || substring(text,41,40) "
+        "WHEN 2 THEN substring(text,1,40) || chr(10) || '- item one' "
+        "|| chr(10) || '- item two' || chr(10) || '- item three' || "
+        "chr(10) || substring(text,41,40) "
+        "ELSE substring(text,1,40) || '...' || chr(10) || "
+        "substring(text,41,40) || '…' || chr(10) || "
+        "substring(text,1,40) || '...' END AS page FROM documents"
+    )
     stop_list = "'the','a','of','and','to','in','is','it','on','for'"
     ltok_f = (
         "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
@@ -1779,19 +1813,7 @@ def oracle_sql() -> dict[str, str]:
         # and integer-arithmetic rule chain as _q_gopher_quality -- the
         # output has no floating-point surface at all
         "gopher_quality": (
-            "WITH p AS (SELECT doc_id, CASE doc_id % 4 "
-            "WHEN 0 THEN substring(text,1,40) || chr(10) || "
-            "substring(text,41,40) || chr(10) || chr(10) || "
-            "substring(text,81,40) "
-            "WHEN 1 THEN substring(text,1,40) || chr(10) || "
-            "substring(text,41,40) || chr(10) || chr(10) || "
-            "substring(text,1,40) || chr(10) || substring(text,41,40) "
-            "WHEN 2 THEN substring(text,1,40) || chr(10) || '- item one' "
-            "|| chr(10) || '- item two' || chr(10) || '- item three' || "
-            "chr(10) || substring(text,41,40) "
-            "ELSE substring(text,1,40) || '...' || chr(10) || "
-            "substring(text,41,40) || '…' || chr(10) || "
-            "substring(text,1,40) || '...' END AS page FROM documents), "
+            f"WITH p AS ({gq_page}), "
             "m AS (SELECT doc_id, "
             "list_filter(list_transform(string_split(page, chr(10)), "
             "x -> trim(x)), x -> x <> '') AS lines, "
@@ -1831,6 +1853,22 @@ def oracle_sql() -> dict[str, str]:
             "WHEN dup_paras * 10 > n_paras * 3 THEN 'dup_paras' "
             "WHEN n_stop < 2 THEN 'too_few_stopwords' "
             "ELSE 'keep' END AS reason FROM s)"
+        ),
+        "line_dedup": (
+            f"WITH p AS ({gq_page}), "
+            "l AS (SELECT doc_id, "
+            "unnest(string_split(page, chr(10))) AS line, "
+            "generate_subscripts(string_split(page, chr(10)), 1) AS pos "
+            "FROM p), "
+            "k AS (SELECT doc_id, pos, line, length(line) < 5 OR "
+            "row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) "
+            "= 1 AS keep FROM l) "
+            "SELECT doc_id, coalesce(string_agg("
+            "CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') "
+            "AS text_dedup, "
+            "CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept, "
+            "CAST(count(*) - count(CASE WHEN keep THEN 1 END) AS BIGINT) "
+            "AS n_dropped FROM k GROUP BY doc_id"
         ),
         "bpe_tokens": (
             "SELECT doc_id, len(list_filter(regexp_extract_all(text, "

@@ -620,3 +620,72 @@ def minhash_near_duplicates(
         shingle_words=shingle_words,
         min_jaccard=min_jaccard,
     )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 15,
+) -> DataFrame:
+    """C4-style cross-document line deduplication (Raffel et al. 2020
+    §2.2 dedups three-sentence spans; the line variant is the common
+    production form): every distinct line of at least ``min_chars``
+    characters is kept ONLY at its first occurrence corpus-wide --
+    the smallest (id, position) -- and dropped everywhere else,
+    including repeats inside the same document. Shorter lines
+    (headings, separators) bypass dedup and are always kept.
+
+    Scale shape: posexplode -> groupBy(line) min-struct winner
+    (map-side combined, so a line repeated a million times arrives at
+    the reducer once per input partition) -> inner join of occurrences
+    to winners on the FULL (line, id, pos) triple, which is unique on
+    both sides -- no hot join key no matter how skewed the line
+    frequencies are -- then one groupBy(id) to reassemble documents in
+    original line order. Documents whose every line was dropped stay
+    in the output with empty text (left join against the input ids).
+
+    Output: (id, text_dedup, n_kept, n_dropped) -- n_* count lines.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    )
+    big = lines.filter(F.length("line") >= min_chars)
+    winners = big.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w")
+    )
+    kept_big = big.join(
+        winners.select(
+            "line",
+            F.col(f"w.{id_col}").alias(id_col),
+            F.col("w.pos").alias("pos"),
+        ),
+        ["line", id_col, "pos"],
+    )
+    kept = kept_big.select(id_col, "pos", "line").unionByName(
+        lines.filter(F.length("line") < min_chars)
+        .select(id_col, "pos", "line")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("text_dedup"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

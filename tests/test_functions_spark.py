@@ -357,6 +357,41 @@ def test_pii_redaction_units(spark):
     assert tuple(rows[3]["p"]) == (0, 0, 0)
 
 
+def test_dedup_lines_global(spark):
+    """C4-style global line dedup: first (doc, pos) occurrence wins
+    corpus-wide, within-doc repeats drop, short lines bypass, fully
+    deduped docs stay with empty text, and the join is never a
+    nested-loop (unique (line,id,pos) triple on both sides)."""
+    from parse_html_spark.functions.dedup import dedup_lines_global
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared long line here\nunique to doc one\n--"),
+            (2, "its own first line two\nshared long line here\n--"),
+            (3, "shared long line here"),
+            (4, "repeat me inside doc\nrepeat me inside doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_lines_global(df, min_chars=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["text_dedup"] == (
+        "shared long line here\nunique to doc one\n--"
+    )
+    assert rows[1]["n_kept"] == 3 and rows[1]["n_dropped"] == 0
+    # doc 2 loses the shared line to doc 1; '--' is short -> bypass
+    assert rows[2]["text_dedup"] == "its own first line two\n--"
+    assert rows[2]["n_dropped"] == 1
+    # doc 3 loses its only line but stays in the output
+    assert rows[3]["text_dedup"] == "" and rows[3]["n_kept"] == 0
+    # within-doc repeat drops too
+    assert rows[4]["text_dedup"] == "repeat me inside doc"
+    assert rows[4]["n_dropped"] == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "partial_min" in plan, plan  # winner agg map-side combined
+
+
 def test_media_feature_stub(spark):
     from parse_html_spark.functions.media import (
         attach_payload,
