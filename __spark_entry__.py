@@ -759,6 +759,26 @@ def _q_gopher_quality(spark, sf_dir):
     )
 
 
+def _q_hash_split(spark, sf_dir):
+    """Deterministic sampling + train/val/test assignment: keep the
+    salted-md5 half of the corpus (hash_sample 2048/4096, salt 's7'),
+    then label each survivor by an UNSALTED 80/10/10 bucket split
+    (weights 3277/410/409 in 4096ths). Both are pure filters/CASEs on
+    lexicographic hex buckets -- reproducible across runs,
+    partitionings and engines, which is exactly what the oracle
+    checks."""
+    from parse_html_spark.functions.textfn import hash_sample, split_assign
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    half = hash_sample(docs, 2048, salt="s7")
+    return half.select(
+        "doc_id",
+        split_assign(
+            F.col("doc_id"), {"train": 3277, "val": 410, "test": 409}
+        ).alias("split"),
+    )
+
+
 def _q_line_dedup(spark, sf_dir):
     """C4-style GLOBAL line dedup over the derived multiline pages:
     the three bullet lines shared by every doc_id%4==2 page survive
@@ -1597,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": _q_bpe_tokens,
         "pii_redact": _q_pii_redact,
         "line_dedup": _q_line_dedup,
+        "hash_split": _q_hash_split,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1853,6 +1874,17 @@ def oracle_sql() -> dict[str, str]:
             "WHEN dup_paras * 10 > n_paras * 3 THEN 'dup_paras' "
             "WHEN n_stop < 2 THEN 'too_few_stopwords' "
             "ELSE 'keep' END AS reason FROM s)"
+        ),
+        # hash_split: 3277 = 0xccd, 3277+410 = 3687 = 0xe67,
+        # sample threshold 2048 = 0x800
+        "hash_split": (
+            "SELECT doc_id, CASE "
+            "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 30, 3) < 'ccd' "
+            "THEN 'train' "
+            "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 30, 3) < 'e67' "
+            "THEN 'val' ELSE 'test' END AS split FROM documents "
+            "WHERE substring(md5(CAST(doc_id AS VARCHAR) || 's7'), 30, 3) "
+            "< '800'"
         ),
         "line_dedup": (
             f"WITH p AS ({gq_page}), "

@@ -286,6 +286,65 @@ def redact_pii(col) -> Column:
     return out
 
 
+def _hash_bucket(col, salt: str) -> Column:
+    """Deterministic 3-hex-char bucket of a key: the last 3 chars of
+    md5(key || salt), compared LEXICOGRAPHICALLY so no hex-to-integer
+    conversion (a classic cross-engine divergence point) is ever
+    needed. 4096 buckets; identical string in any engine with md5."""
+    return F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 30, 3)
+
+
+def hash_sample(df, fraction_n: int, key_col: str = "doc_id", salt: str = ""):
+    """Deterministic sampling: keep rows whose md5 bucket falls in the
+    first ``fraction_n`` of 4096 -- the 100 TB-safe alternative to
+    rand()-based .sample(): reproducible across runs, partitionings
+    and cluster sizes, stable under retries, and a different ``salt``
+    gives an independent sample. A pure narrow filter -- evaluated
+    inside the scan stage with zero shuffle (the md5 expression itself
+    is not a parquet PushedFilter, but unsampled rows die before any
+    exchange)."""
+    if not 0 <= fraction_n <= 4096:
+        raise ValueError(f"fraction_n must be in [0, 4096], got {fraction_n}")
+    if fraction_n == 4096:
+        # f"{4096:03x}" is the FOUR-char '1000', which sorts BELOW
+        # 'a00'-'fff' lexicographically and would silently drop ~5/8
+        # of the corpus -- keep-everything must mean no filter at all
+        return df
+    thr = f"{fraction_n:03x}"
+    return df.filter(_hash_bucket(F.col(key_col), salt) < F.lit(thr))
+
+
+def split_assign(col, weights: dict[str, int], salt: str = "") -> Column:
+    """Deterministic train/val/test split label: weights are in
+    4096ths (e.g. {'train': 3686, 'val': 205, 'test': 205}; any
+    shortfall falls into the LAST label) and must total <= 4096.
+    Label boundaries are cumulative, assignment is the same
+    lexicographic bucket as hash_sample -- so a row's split never
+    changes when the corpus grows, shrinks or repartitions, and
+    train/val can never leak into each other across runs."""
+    total = sum(weights.values())
+    if total > 4096 or not weights:
+        raise ValueError(f"weights must be non-empty and total <= 4096, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    bucket = _hash_bucket(col, salt)
+    names = list(weights)
+    # earlier labels own the lower bucket ranges; ranges are disjoint,
+    # so a simple ascending-upper-bound CASE chain assigns each row to
+    # the first bound it falls under, remainder -> last label
+    expr = F.lit(names[-1])
+    cum = 0
+    bounds = []
+    for name in names[:-1]:
+        cum += weights[name]
+        # cum == 4096 would format as the four-char '1000' (sorts
+        # below 'a00') -- 'g' is above every hex bucket instead
+        bounds.append((name, "g" if cum == 4096 else f"{cum:03x}"))
+    for name, b in reversed(bounds):
+        expr = F.when(bucket < F.lit(b), F.lit(name)).otherwise(expr)
+    return expr
+
+
 def top_token(df, id_col: str = "doc_id", text_col: str = "text"):
     """Most frequent lowercase token per document (RefinedWeb-style
     top-n-gram repetition signal, n=1) as two hash aggregations, both

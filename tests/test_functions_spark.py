@@ -392,6 +392,56 @@ def test_dedup_lines_global(spark):
     assert "partial_min" in plan, plan  # winner agg map-side combined
 
 
+def test_hash_sample_and_split_assign(spark):
+    """Deterministic sampling/splitting: same rows across repartitions
+    and salts are independent; split labels are exhaustive, disjoint,
+    stable, and within sane mass of the requested weights."""
+    import pytest
+
+    from parse_html_spark.functions.textfn import hash_sample, split_assign
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in hash_sample(df, 1024).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in hash_sample(df.repartition(13), 1024).collect()
+    }
+    assert s1 == s2  # partitioning-independent
+    assert 0.18 < len(s1) / 4000 < 0.32  # ~25% requested
+    other = {r["doc_id"] for r in hash_sample(df, 1024, salt="x").collect()}
+    assert other != s1  # salted sample is a different subset
+    # nested property: a smaller fraction is a SUBSET of a larger one
+    s_small = {r["doc_id"] for r in hash_sample(df, 256).collect()}
+    assert s_small <= s1
+    assert len({r["doc_id"] for r in hash_sample(df, 0).collect()}) == 0
+    assert len({r["doc_id"] for r in hash_sample(df, 4096).collect()}) == 4000
+
+    w = {"train": 3277, "val": 410, "test": 409}
+    lab = df.select(
+        "doc_id", split_assign(F.col("doc_id"), w).alias("s")
+    ).collect()
+    counts = {}
+    for r in lab:
+        counts[r["s"]] = counts.get(r["s"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.74 < counts["train"] / 4000 < 0.86
+    again = df.select(split_assign(F.col("doc_id"), w).alias("s")).collect()
+    assert [r["s"] for r in lab] == [r["s"] for r in again]
+
+    # hex-boundary edge: a full-mass non-last label must own every row
+    allb = df.select(
+        split_assign(F.col("doc_id"), {"a": 4096, "b": 0}).alias("s")
+    ).collect()
+    assert {r["s"] for r in allb} == {"a"}
+
+    with pytest.raises(ValueError):
+        hash_sample(df, 5000)
+    with pytest.raises(ValueError):
+        split_assign(F.col("doc_id"), {"a": 4000, "b": 400})
+    with pytest.raises(ValueError):
+        split_assign(F.col("doc_id"), {})
+
+
 def test_media_feature_stub(spark):
     from parse_html_spark.functions.media import (
         attach_payload,
