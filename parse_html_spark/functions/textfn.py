@@ -345,6 +345,29 @@ def split_assign(col, weights: dict[str, int], salt: str = "") -> Column:
     return expr
 
 
+def annotate_quality(df, text_col: str = "text", split_key: str = "doc_id"):
+    """One-projection quality layer for a training pipeline: appends
+    the Gopher verdict (keep + reason), the PII-redacted text, the BPE
+    token count and the deterministic train/val/test label. Every
+    column is a stateless narrow expression, so the SAME call runs
+    under readStream unchanged (no watermark, no state) -- the batch
+    and streaming outputs are byte-identical."""
+    t = F.col(text_col)
+    v = gopher_filter(t)
+    return df.withColumns(
+        {
+            "keep": v["keep"],
+            "reject_reason": v["reason"],
+            "text_redacted": redact_pii(t),
+            "bpe_tokens": bpe_token_count(t),
+            "split": split_assign(
+                F.col(split_key),
+                {"train": 3277, "val": 410, "test": 409},
+            ),
+        }
+    )
+
+
 def top_token(df, id_col: str = "doc_id", text_col: str = "text"):
     """Most frequent lowercase token per document (RefinedWeb-style
     top-n-gram repetition signal, n=1) as two hash aggregations, both

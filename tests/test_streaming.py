@@ -358,3 +358,51 @@ def test_stream_lsh_oracle_margin_holds():
     agree = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
     np.fill_diagonal(agree, 0.0)
     assert agree.max() < 0.3  # measured 0.156; threshold is 0.6
+
+
+def test_quality_layer_streams_byte_identical(spark, tmp_path):
+    """The stateless quality layer (Gopher verdict, PII redaction, BPE
+    count, split label) runs under readStream UNCHANGED and its output
+    is byte-identical to the batch projection on the same files."""
+    in_dir = str(tmp_path / "qin")
+    out_dir = str(tmp_path / "qout")
+    ckpt = str(tmp_path / "qckpt")
+    os.makedirs(in_dir)
+    from parse_html_spark.functions.textfn import annotate_quality
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog on the mat\n"
+            "another line full of plain readable words is here"),
+        (2, "mail bob@example.com or visit 10.0.0.7 for the info"),
+        (3, "dup line of words here\ndup line of words here\n"
+            "dup line of words here\ndup line of words here"),
+        (4, "### ### ###"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(in_dir, mode="append")
+
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    q = (
+        annotate_quality(sdf)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = annotate_quality(spark.read.parquet(in_dir))
+    got = spark.read.parquet(out_dir)
+    key = lambda r: r["doc_id"]
+    assert sorted(map(tuple, got.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, batch.collect()), key=lambda t: t[0]
+    )
+    by_id = {r["doc_id"]: r for r in got.collect()}
+    assert by_id[2]["text_redacted"] == (
+        "mail <EMAIL> or visit <IPV4> for the info"
+    )
+    assert by_id[3]["reject_reason"] == "dup_lines"
+    assert by_id[4]["keep"] is False
+    assert {r["split"] for r in by_id.values()} <= {"train", "val", "test"}
