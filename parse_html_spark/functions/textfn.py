@@ -256,7 +256,10 @@ def bpe_token_count(col) -> Column:
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
-    ("phone", r"\+\d{9,15}", "<PHONE>"),
+    # international +NNNNNNNNN... or separator-grouped 555-123-4567 /
+    # 555.123.4567 (after IPv4 redaction, so dotted triples that are
+    # really IPs are already gone)
+    ("phone", r"\+\d{9,15}|\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
 )
 
 

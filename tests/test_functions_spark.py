@@ -337,6 +337,7 @@ def test_pii_redaction_units(spark):
             ("mail a@b.io and c.d+e@f-g.org now",),
             ("hosts 10.0.0.1 and 192.168.1.255, ver 1.2 not 1.2.3.4.5",),
             ("call +491701234567 or +15551234567; plus +1 is too short",),
+            ("dial 555-123-4567 or 555.123.4567 but not 12-34 or 1.2.3",),
             ("clean text with no pii at all",),
         ],
         "text string",
@@ -353,8 +354,12 @@ def test_pii_redaction_units(spark):
     assert rows[1]["p"]["n_ipv4"] == 3
     assert rows[2]["r"] == "call <PHONE> or <PHONE>; plus +1 is too short"
     assert rows[2]["p"]["n_phone"] == 2
-    assert rows[3]["r"] == "clean text with no pii at all"
-    assert tuple(rows[3]["p"]) == (0, 0, 0)
+    assert rows[3]["r"] == (
+        "dial <PHONE> or <PHONE> but not 12-34 or 1.2.3"
+    )
+    assert rows[3]["p"]["n_phone"] == 2 and rows[3]["p"]["n_ipv4"] == 0
+    assert rows[4]["r"] == "clean text with no pii at all"
+    assert tuple(rows[4]["p"]) == (0, 0, 0)
 
 
 def test_dedup_lines_global(spark):
