@@ -1212,6 +1212,76 @@ def _q_wet_source(spark, sf_dir):
     )
 
 
+def _q_pdf_source(spark, sf_dir):
+    """PDF source reader under the oracle gate: documents round-trip
+    through real PDF files (pdf.py's from-scratch ISO 32000 parser)
+    and back out as interleaved spans with text/n_chars/page structure
+    intact.
+
+    Structural dialect varies by doc_id % 4 -- 0: classic xref +
+    literal content; 1: FlateDecode content; 2: TJ kerning arrays;
+    3: Type0 font + 2-byte ToUnicode CMap inside a PDF 1.5 xref/object
+    stream -- so one hash gate covers every parser path. Docs with
+    doc_id % 7 == 0 additionally become two-page documents with an
+    embedded DCTDecode image XObject (the package's own encode_jpeg)
+    splitting the text into two spans around a media span; the oracle
+    predicts the page count, the media_ref label, and the one-newline
+    n_chars deficit the span split causes."""
+    import os
+
+    from parse_html_spark.sources.pdf import read_span_docs_pdf
+
+    d = _scratch_dir("spark_graft_pdf_")
+
+    def writer(_g, pdf):
+        import numpy as np
+
+        from parse_html_spark.functions.jpeg import encode_jpeg
+        from parse_html_spark.sources.pdf import encode_pdf, layout_doc
+
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        img[::2] = 200
+        jpeg = encode_jpeg(img)
+        dialects = [
+            {},
+            {"compress": True},
+            {"kerning": True},
+            {"cmap": True, "objstm": True, "compress": True},
+        ]
+        for i, t in zip(pdf["doc_id"], pdf["text"]):
+            i = int(i)
+            pages = layout_doc(
+                t,
+                two_pages=i % 7 == 0,
+                image=(jpeg, 8, 8, "Im1") if i % 7 == 0 else None,
+            )
+            data = encode_pdf(pages, **dialects[i % 4])
+            with open(os.path.join(d, f"{i}.pdf"), "wb") as f:
+                f.write(data)
+
+    _build_fixtures_spark_side(
+        spark,
+        _documents(spark, sf_dir).select("doc_id", "text")
+        .withColumn("g", F.pmod(F.col("doc_id"), F.lit(8))),
+        writer,
+    )
+    df = read_span_docs_pdf(spark, d)
+    text_spans = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+    media_spans = F.filter("spans", lambda s: s["kind"] == F.lit("media"))
+    return df.select(
+        F.regexp_extract(F.col("doc_id"), r"(\d+)\.pdf$", 1)
+        .cast("bigint").alias("doc_id"),
+        F.array_join(
+            F.transform(text_spans, lambda s: s["text"]), "\n"
+        ).alias("text"),
+        F.col("n_chars"),
+        F.col("n_pages"),
+        F.try_element_at(media_spans, F.lit(1))["media_ref"]
+        .alias("media_ref"),
+        F.col("status"),
+    )
+
+
 def _q_warc_census(spark, sf_dir):
     """Flag-mode WARC decode census UNDER THE ORACLE GATE (round-5
     hardening promoted to a hash-checked row): documents are sharded
@@ -1635,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mega_spans": _q_mega_spans,
         "warc_source": _q_warc_source,
         "wet_source": _q_wet_source,
+        "pdf_source": _q_pdf_source,
         "warc_census": _q_warc_census,
         "charset_census": _q_charset_census,
         "media_census": _q_media_census,
@@ -2162,6 +2233,21 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_source": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 3 AS n_spans, "
             "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+        ),
+        "pdf_source": (
+            # wrapped = text split into 64-char PDF lines joined by \n;
+            # two-page image docs (id%7=0, >1 line) lose one joining
+            # newline to the text-span split around the media span
+            "SELECT doc_id, "
+            "rtrim(regexp_replace(text, '(.{64})', '\\1' || chr(10), 'g'), "
+            "chr(10)) AS text, "
+            "CAST(length(text) + CAST(ceil(length(text) / 64.0) AS BIGINT) "
+            "- 1 - CASE WHEN doc_id % 7 = 0 AND length(text) > 64 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS n_chars, "
+            "CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS INT) "
+            "AS n_pages, "
+            "CASE WHEN doc_id % 7 = 0 THEN 'pdf:Im1:8x8' END AS media_ref, "
+            "'ok' AS status FROM documents"
         ),
         "node_counts": (
             "SELECT doc_id, CAST(CASE doc_id % 4 WHEN 0 THEN 21 WHEN 1 THEN 23 "

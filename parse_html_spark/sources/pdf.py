@@ -562,6 +562,20 @@ class _Doc:
             self.xref[int(m.group(1))] = ("f", m.start())
         if len(self.xref) > _MAX_OBJECTS:
             raise PdfError("too many objects")
+        # objects packed in object streams have no 'N G obj' header:
+        # index every scanned ObjStm's contents too (file entries win)
+        for num in sorted(self.xref):
+            try:
+                obj = self.get_object(num)
+            except PdfError:
+                continue
+            if isinstance(obj, _Stream) and obj.dict.get("Type") == "ObjStm":
+                try:
+                    _body, _first, pairs = self._load_objstm(num)
+                except (PdfError, ValueError):
+                    continue
+                for k, (onum, _off) in enumerate(pairs):
+                    self.xref.setdefault(onum, ("o", num, k))
         if "Root" not in self.trailer:
             for num in sorted(self.xref):
                 try:
@@ -643,7 +657,7 @@ class _Doc:
         self._cache[num] = obj
         return obj
 
-    def _from_objstm(self, stm_num: int, idx: int, want: int):
+    def _load_objstm(self, stm_num: int):
         if stm_num not in self._objstm_cache:
             stm = self.get_object(stm_num)
             if not isinstance(stm, _Stream) or stm.dict.get("Type") != (
@@ -660,7 +674,10 @@ class _Doc:
                 off, p = _parse_number(body, _skip_ws(body, p))
                 pairs.append((int(onum), int(off)))
             self._objstm_cache[stm_num] = (body, first, pairs)
-        body, first, pairs = self._objstm_cache[stm_num]
+        return self._objstm_cache[stm_num]
+
+    def _from_objstm(self, stm_num: int, idx: int, want: int):
+        body, first, pairs = self._load_objstm(stm_num)
         for k, (onum, off) in enumerate(pairs):
             if k == idx or onum == want:
                 obj, _ = _parse_object(body, first + off)
@@ -705,6 +722,11 @@ class _Doc:
     _INHERIT = ("Resources", "MediaBox", "Rotate")
 
     def pages(self):
+        if "Encrypt" in self.trailer:
+            # strings/streams are RC4/AES-encrypted; decoding without
+            # the key yields garbage, so census instead (double-digit
+            # permille of real crawls)
+            raise PdfError("encrypted document")
         root = self.resolve(self.trailer.get("Root"))
         if not isinstance(root, dict):
             raise PdfError("catalog missing")
