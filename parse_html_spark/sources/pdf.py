@@ -61,6 +61,7 @@ flag mode.
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 from .readers import _bounded_inflate
@@ -183,18 +184,41 @@ _ESC = {
 }
 
 
+_LIT_SPECIAL = re.compile(rb"[\\()\r]")
+
+
 def _parse_litstring(data: bytes, pos: int):
-    # pos at '('
+    # pos at '('. Bulk slice copies between special bytes (regex scan)
+    # rather than a per-byte loop: literal strings are the show-op hot
+    # path and most contain no escapes at all.
     pos += 1
     n = len(data)
     out = bytearray()
     depth = 1
-    while pos < n:
-        c = data[pos]
-        if c == 0x5C:  # backslash
-            pos += 1
+    while True:
+        m = _LIT_SPECIAL.search(data, pos)
+        if m is None:
+            raise PdfError("unterminated literal string")
+        e = m.start()
+        if e > pos:
+            out += data[pos:e]
+        c = data[e]
+        pos = e + 1
+        if c == 0x28:
+            depth += 1
+            out.append(c)
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), pos
+            out.append(c)
+        elif c == 0x0D:  # unescaped EOL -> \n per spec
+            out.append(0x0A)
+            if pos < n and data[pos] == 0x0A:
+                pos += 1
+        else:  # backslash
             if pos >= n:
-                break
+                raise PdfError("unterminated literal string")
             c2 = data[pos]
             if c2 in _ESC:
                 out += _ESC[c2]
@@ -214,25 +238,6 @@ def _parse_litstring(data: bytes, pos: int):
             else:  # unknown escape: the char itself
                 out.append(c2)
                 pos += 1
-        elif c == 0x28:
-            depth += 1
-            out.append(c)
-            pos += 1
-        elif c == 0x29:
-            depth -= 1
-            if depth == 0:
-                return bytes(out), pos + 1
-            out.append(c)
-            pos += 1
-        elif c == 0x0D:  # unescaped EOL -> \n per spec
-            out.append(0x0A)
-            pos += 1
-            if pos < n and data[pos] == 0x0A:
-                pos += 1
-        else:
-            out.append(c)
-            pos += 1
-    raise PdfError("unterminated literal string")
 
 
 def _parse_hexstring(data: bytes, pos: int):
@@ -240,9 +245,7 @@ def _parse_hexstring(data: bytes, pos: int):
     end = data.find(b">", pos + 1)
     if end < 0:
         raise PdfError("unterminated hex string")
-    hx = bytes(
-        c for c in data[pos + 1 : end] if c not in _WS
-    )
+    hx = data[pos + 1 : end].translate(None, _WS)
     if len(hx) % 2:
         hx += b"0"
     try:
@@ -900,6 +903,22 @@ def _make_decoder(doc: _Doc, fontdict):
             except PdfError:
                 widths, table = (1,), {}
 
+            if widths == (2,):
+                # the overwhelmingly common case (Identity-H Type0):
+                # one C-level unpack + dict lookups per pair
+                tbl2 = {c: s for (_w, c), s in table.items()}
+
+                def dec_cmap2(b: bytes) -> str:
+                    npairs = len(b) // 2
+                    vals = struct.unpack(">%dH" % npairs, b[: 2 * npairs])
+                    get = tbl2.get
+                    out = [get(v, "�") for v in vals]
+                    if len(b) & 1:  # dangling tail byte
+                        out.append("�")
+                    return "".join(out)
+
+                return dec_cmap2
+
             def dec_cmap(b: bytes) -> str:
                 out = []
                 i = 0
@@ -928,27 +947,29 @@ def _make_decoder(doc: _Doc, fontdict):
         # than mojibake
         return lambda b: "�" * max(1, len(b) // 2) if b else ""
     enc = doc.resolve(fontdict.get("Encoding"))
-    table = list(_WINANSI)
+    codec = "cp1252"
+    table = _WINANSI
     if enc == "MacRomanEncoding":
-        table = list(_MACROMAN)
+        codec, table = "mac_roman", _MACROMAN
     diffs = None
     if isinstance(enc, dict):
         base = doc.resolve(enc.get("BaseEncoding"))
         if base == "MacRomanEncoding":
-            table = list(_MACROMAN)
+            codec, table = "mac_roman", _MACROMAN
         diffs = doc.resolve(enc.get("Differences"))
-    if isinstance(diffs, list):
-        code = 0
-        for item in diffs[: 2 * 256 + 8]:
-            if isinstance(item, (int, float)):
-                code = int(item)
-            elif isinstance(item, _Name) and 0 <= code < 256:
-                table[code] = _glyph_char(str(item))
-                code += 1
-    tbl = "".join(table)
-    return lambda b: b.translate(None, b"") and "".join(
-        tbl[c] for c in b
-    ) or ""
+    if not isinstance(diffs, list):
+        # base-encoding fast path: one C-level codec call
+        return lambda b: b.decode(codec, "replace")
+    table = list(table)
+    code = 0
+    for item in diffs[: 2 * 256 + 8]:
+        if isinstance(item, (int, float)):
+            code = int(item)
+        elif isinstance(item, _Name) and 0 <= code < 256:
+            table[code] = _glyph_char(str(item))
+            code += 1
+    trans = str.maketrans({i: table[i] for i in range(256)})
+    return lambda b: b.decode("latin-1").translate(trans)
 
 
 # ---------------------------------------------------------------------------
@@ -956,6 +977,10 @@ def _make_decoder(doc: _Doc, fontdict):
 # ---------------------------------------------------------------------------
 
 _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _latin1_decode(b: bytes) -> str:
+    return b.decode("latin-1", "replace")
 
 
 def _mmul(m, w):
@@ -1042,7 +1067,7 @@ def _interpret_content(doc: _Doc, content: bytes, resources, runs,
 
     def show(chunks):
         nonlocal seq
-        dec = decoder or (lambda b: b.decode("latin-1", "replace"))
+        dec = decoder or _latin1_decode
         parts = []
         for c in chunks:
             if isinstance(c, bytes):
