@@ -71,6 +71,7 @@ from .readers import _bounded_inflate
 # ---------------------------------------------------------------------------
 
 _MAX_STREAM_DECODED = 1 << 26  # 64 MiB per decoded stream
+_MAX_DOC_DECODED = 1 << 28  # 256 MiB total decoded bytes per document
 _MAX_PAGES = 50_000
 _MAX_CONTENT_OPS = 500_000  # per page
 _MAX_RESOLVE_DEPTH = 32
@@ -376,10 +377,17 @@ _IMAGE_FILTERS = frozenset(
 )
 
 
-def _decode_stream(stream: _Stream, resolve) -> bytes:
+def _decode_stream(stream: _Stream, resolve, budget=None) -> bytes:
     """Apply the /Filter chain. Image codecs (DCT etc.) are terminal:
     the raw compressed pixels come back untouched (spans only need the
-    dict's /Width //Height, never the pixels)."""
+    dict's /Width //Height, never the pixels).
+
+    ``budget``: a one-element mutable list holding the document's
+    remaining total decode allowance. The per-stream cap alone does
+    not bound a document: 1024 content parts x 64 MiB, or one form
+    XObject re-executed by many Do ops, multiplies into an executor
+    OOM; the shared budget keeps the whole document's decoded bytes
+    under one ceiling."""
     filters = resolve(stream.dict.get("Filter"))
     if filters is None:
         return stream.raw
@@ -403,6 +411,10 @@ def _decode_stream(stream: _Stream, resolve) -> bytes:
                     f"stream exceeds decode cap ({_MAX_STREAM_DECODED} B)"
                 )
             data = bytes(out)
+            if budget is not None:
+                budget[0] -= len(data)
+                if budget[0] < 0:
+                    raise PdfError("document decode budget exceeded")
             pred = resolve(pm.get("Predictor", 1)) or 1
             if pred >= 10:
                 data = _png_unpredict(
@@ -439,6 +451,7 @@ class _Doc:
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, tuple] = {}
         self.warnings: list[str] = []
+        self.decode_budget = [_MAX_DOC_DECODED]
         self._load_xref()
 
     # -- xref -------------------------------------------------------------
@@ -667,7 +680,7 @@ class _Doc:
                 "ObjStm"
             ):
                 raise PdfError(f"object stream {stm_num} invalid")
-            body = _decode_stream(stm, self.resolve)
+            body = _decode_stream(stm, self.resolve, self.decode_budget)
             n = int(self.resolve(stm.dict.get("N", 0)))
             first = int(self.resolve(stm.dict.get("First", 0)))
             pairs = []
@@ -898,7 +911,7 @@ def _make_decoder(doc: _Doc, fontdict):
         if isinstance(tou, _Stream):
             try:
                 widths, table = _parse_tounicode(
-                    _decode_stream(tou, doc.resolve)
+                    _decode_stream(tou, doc.resolve, doc.decode_budget)
                 )
             except PdfError:
                 widths, table = (1,), {}
@@ -1180,7 +1193,9 @@ def _interpret_content(doc: _Doc, content: bytes, resources, runs,
                             )
                         seq = _interpret_content(
                             doc,
-                            _decode_stream(xo, doc.resolve),
+                            _decode_stream(
+                                xo, doc.resolve, doc.decode_budget
+                            ),
                             xo.dict.get("Resources", resources),
                             runs, seq, inner_ctm, depth + 1,
                         )
@@ -1203,12 +1218,14 @@ def _page_content(doc: _Doc, page) -> bytes:
     contents = doc.resolve(page.get("Contents"))
     parts = []
     if isinstance(contents, _Stream):
-        parts.append(_decode_stream(contents, doc.resolve))
+        parts.append(_decode_stream(contents, doc.resolve, doc.decode_budget))
     elif isinstance(contents, list):
         for c in contents[:1024]:
             c = doc.resolve(c)
             if isinstance(c, _Stream):
-                parts.append(_decode_stream(c, doc.resolve))
+                parts.append(
+                    _decode_stream(c, doc.resolve, doc.decode_budget)
+                )
     return b"\n".join(parts)
 
 

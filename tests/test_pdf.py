@@ -379,6 +379,25 @@ def test_flate_bomb_page_content_degrades():
     assert spans_to_text(spans) == ""
 
 
+def test_document_decode_budget(monkeypatch):
+    """The per-stream cap alone doesn't bound a document (many streams
+    or a re-executed form multiply it); the shared per-document budget
+    must trip and census, not OOM."""
+    import parse_html_spark.sources.pdf as pdfmod
+
+    pages = [[("text", [f"page {i} line"], 72.0, 720.0, "td")]
+             for i in range(6)]
+    data = encode_pdf(pages, compress=True)
+    spans, status, _ = parse_pdf_spans(data)
+    assert status == "ok" and len(spans) == 1
+    monkeypatch.setattr(pdfmod, "_MAX_DOC_DECODED", 100)
+    spans, status, n_pages = parse_pdf_spans(data)
+    # structural xref/objstm decode still small enough; the six page
+    # content decodes overrun the budget and degrade per-page
+    assert status.startswith(("ok_with_warnings:", "pdf_error:"))
+    assert "budget" in status
+
+
 def test_fuzz_mutations_never_raise():
     rng = random.Random(42)
     bases = [encode_pdf(layout_doc(TEXT), **kw) for kw in DIALECTS]
@@ -453,3 +472,39 @@ def test_read_span_docs_pdf(spark, tmp_path):
 
     with pytest.raises(Exception):
         read_span_docs_pdf(spark, str(tmp_path), on_error="raise").collect()
+
+
+def test_pdf_source_feeds_training_ops(spark, tmp_path):
+    """The PDF source emits the same span-doc shape as WARC/WET/JSONL,
+    so the training-data layer composes on it unchanged: flatten the
+    text spans and run annotate_quality + lang_id in one projection."""
+    import pyspark.sql.functions as F
+
+    from parse_html_spark.functions.textfn import annotate_quality, lang_id
+    from parse_html_spark.sources.pdf import read_span_docs_pdf
+
+    body = ("the quick brown fox jumps over the lazy dog and then "
+            "the dog chases the fox around the river bank again ") * 6
+    for i in range(4):
+        (tmp_path / f"{i}.pdf").write_bytes(
+            encode_pdf(layout_doc(body.strip()))
+        )
+    df = read_span_docs_pdf(spark, str(tmp_path))
+    flat = df.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = annotate_quality(flat).withColumn("lang", lang_id(F.col("text")))
+    rows = out.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["bpe_tokens"] > 50
+        assert r["split"] in ("train", "val", "test")
+        assert r["lang"] == "en"
+        assert isinstance(r["keep"], bool)
