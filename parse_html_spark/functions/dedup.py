@@ -677,7 +677,16 @@ def dedup_lines_global(
             ),
         ).alias("text_dedup"),
     )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    # totals from the INPUT df, not the exploded lines: split(NULL)
+    # explodes to zero rows, which silently dropped NULL-text documents
+    # from the output entirely (review r7). NULL text stays a row with
+    # empty dedup text and zero counts.
+    totals = df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(F.split(F.col(text_col), r"\n")))
+        .alias("n_lines"),
+    )
     return (
         totals.join(rebuilt, id_col, "left")
         .select(

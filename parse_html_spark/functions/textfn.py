@@ -259,7 +259,11 @@ PII_PATTERNS = (
     # international +NNNNNNNNN... or separator-grouped 555-123-4567 /
     # 555.123.4567 (after IPv4 redaction, so dotted triples that are
     # really IPs are already gone)
-    ("phone", r"\+\d{9,15}|\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    # trailing \b makes the international form all-or-nothing: without
+    # it, a 16+-digit run matched its first 15 digits and leaked the
+    # rest glued to the placeholder (review r7). \b after \d is
+    # dialect-portable (Java regex and RE2 agree), unlike lookahead.
+    ("phone", r"\+\d{9,15}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
 )
 
 

@@ -396,6 +396,11 @@ def _decode_stream(stream: _Stream, resolve, budget=None) -> bytes:
     parms = resolve(stream.dict.get("DecodeParms"))
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
+    elif len(parms) < len(filters):
+        # a short literal /DecodeParms array must not zip-truncate the
+        # filter chain (review r7: that returned still-compressed bytes
+        # as 'decoded')
+        parms = parms + [None] * (len(filters) - len(parms))
     data = stream.raw
     for f, pm in zip(filters, parms):
         f = resolve(f)
@@ -452,6 +457,7 @@ class _Doc:
         self._objstm_cache: dict[int, tuple] = {}
         self.warnings: list[str] = []
         self.decode_budget = [_MAX_DOC_DECODED]
+        self.font_decoders: dict = {}  # _Ref -> bytes->str decoder
         self._load_xref()
 
     # -- xref -------------------------------------------------------------
@@ -523,14 +529,18 @@ class _Doc:
                 num = int(start) + i
                 if num not in self.xref and typ == b"n":
                     self.xref[num] = ("f", off)
-                pos += 20 if len(ent) >= 20 and ent[19:20] in (
-                    b"\n",
-                    b" ",
-                    b"\r",
-                ) or len(ent) >= 20 else 20
-            # 20-byte entries may be 19+1 on sloppy writers; resync
-            pos = _skip_ws(data, pos - 1) if data[pos - 1 : pos].isdigit() \
-                else pos
+                # spec entries are exactly 20 bytes (2-byte EOL: ' \n',
+                # ' \r' or '\r\n'); sloppy writers emit 19 with a bare
+                # 1-byte EOL. Detect per entry: EOL at ent[18] followed
+                # by a non-EOL byte means the next entry (or 'trailer')
+                # already starts at +19 (review r7: the old expression
+                # always advanced 20 and drifted on such files)
+                if ent[18:19] in (b"\r", b"\n") and ent[19:20] not in (
+                    b"\n", b"\r", b" ",
+                ):
+                    pos += 19
+                else:
+                    pos += 20
 
     def _load_xref_stream(self, pos: int) -> dict:
         num, gen, stream = self._parse_indirect_at(pos)
@@ -694,10 +704,16 @@ class _Doc:
 
     def _from_objstm(self, stm_num: int, idx: int, want: int):
         body, first, pairs = self._load_objstm(stm_num)
-        for k, (onum, off) in enumerate(pairs):
-            if k == idx or onum == want:
+        # prefer the entry whose object NUMBER matches: when the xref
+        # index disagrees with the ObjStm header, the header is the
+        # ground truth (review r7: idx-first returned a wrong object)
+        for onum, off in pairs:
+            if onum == want:
                 obj, _ = _parse_object(body, first + off)
                 return obj
+        if 0 <= idx < len(pairs):
+            obj, _ = _parse_object(body, first + pairs[idx][1])
+            return obj
         raise PdfError(f"object {want} not in object stream {stm_num}")
 
     def resolve(self, obj, depth: int = 0):
@@ -801,8 +817,12 @@ _GLYPHS = {
 }
 for _i in range(0x20, 0x7F):
     _GLYPHS.setdefault(chr(_i), chr(_i))
-for _d in "zero one two three four five six seven eight nine".split():
-    pass  # digits map via single-char names already
+# AGL digit names are 'zero'..'nine', NOT '0'..'9' (review r7: the
+# single-char loop above does not cover them)
+for _i, _d in enumerate(
+    "zero one two three four five six seven eight nine".split()
+):
+    _GLYPHS[_d] = str(_i)
 
 
 def _glyph_char(name: str) -> str:
@@ -1140,7 +1160,19 @@ def _interpret_content(doc: _Doc, content: bytes, resources, runs,
                 size = fnum(operands[-1])
                 key = str(fname)
                 if key not in dec_cache:
-                    dec_cache[key] = _make_decoder(doc, fonts.get(key))
+                    fref = fonts.get(key)
+                    if isinstance(fref, _Ref):
+                        # document-level cache: a form XObject executed
+                        # by N Do ops must not re-decode its ToUnicode
+                        # stream N times against the decode budget
+                        # (review r7); dec_cache alone is per-execution
+                        if fref not in doc.font_decoders:
+                            doc.font_decoders[fref] = _make_decoder(
+                                doc, fref
+                            )
+                        dec_cache[key] = doc.font_decoders[fref]
+                    else:
+                        dec_cache[key] = _make_decoder(doc, fref)
                 decoder = dec_cache[key]
             elif op == "TL" and operands:
                 tl = fnum(operands[-1])

@@ -54,6 +54,15 @@ def read_span_docs_jsonl(spark, path: str):
 # above any real page (Common Crawl truncates records at ~1 MB).
 _MAX_HTTP_DECODED = 1 << 26
 
+# per-record BUFFERING ceiling in the WARC splitter: a record whose
+# declared Content-Length exceeds this keeps only the first
+# _MAX_RECORD_BODY bytes (censusing as truncated_record downstream)
+# while the splitter skip-discards the rest chunk-by-chunk -- a corrupt
+# or crafted multi-GB declared length must not re-accumulate the whole
+# decompressed archive the streaming splitter exists to avoid. 256 MiB
+# is ~250x Common Crawl's ~1 MB record truncation point.
+_MAX_RECORD_BODY = 1 << 28
+
 
 def _bounded_inflate(
     d, data: bytes, max_out: int
@@ -282,9 +291,17 @@ def _iter_warc_stream(chunks, status: dict | None = None):
             # bytes as phantom records
             length = 0
         body_start = hdr_end + 4
-        while len(buf) < body_start + length and not done:
+        # buffer at most _MAX_RECORD_BODY of the declared length: a
+        # crafted/corrupt 'Content-Length: 999999999999' must not grow
+        # buf toward the whole decompressed archive (the O(largest
+        # record) bound is the point of this splitter). The cursor
+        # below still skips the FULL declared length, and the magic
+        # scan discards the remainder chunk-by-chunk; the short body
+        # censuses downstream as truncated_record:<declared>/<got>
+        keep = min(length, _MAX_RECORD_BODY)
+        while len(buf) < body_start + keep and not done:
             pull()
-        body = bytes(buf[body_start : body_start + length])
+        body = bytes(buf[body_start : body_start + keep])
         yield headers, body, start_abs
         cursor = base + body_start + length
         if done and cursor >= base + len(buf):

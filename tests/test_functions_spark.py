@@ -362,6 +362,24 @@ def test_pii_redaction_units(spark):
     assert tuple(rows[4]["p"]) == (0, 0, 0)
 
 
+def test_pii_phone_no_partial_redaction(spark):
+    """A 16+-digit run is not a phone (E.164 caps at 15): the pattern
+    must match all-or-nothing, never redact a prefix and leak the
+    trailing digits glued to the placeholder (review r7)."""
+    from parse_html_spark.functions.textfn import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [("id +1234567890123456 stays; +123456789012345 goes",)],
+        "text string",
+    )
+    r = df.select(
+        redact_pii(F.col("text")).alias("r"),
+        pii_counts(F.col("text")).alias("p"),
+    ).collect()[0]
+    assert r["r"] == "id +1234567890123456 stays; <PHONE> goes"
+    assert r["p"]["n_phone"] == 1
+
+
 def test_dedup_lines_global(spark):
     """C4-style global line dedup: first (doc, pos) occurrence wins
     corpus-wide, within-doc repeats drop, short lines bypass, fully
@@ -375,11 +393,14 @@ def test_dedup_lines_global(spark):
             (2, "its own first line two\nshared long line here\n--"),
             (3, "shared long line here"),
             (4, "repeat me inside doc\nrepeat me inside doc"),
+            (5, None),  # NULL text must not vanish (review r7)
         ],
         "doc_id long, text string",
     )
     out = dedup_lines_global(df, min_chars=5)
     rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[5]["text_dedup"] == ""
+    assert rows[5]["n_kept"] == 0 and rows[5]["n_dropped"] == 0
     assert rows[1]["text_dedup"] == (
         "shared long line here\nunique to doc one\n--"
     )

@@ -204,6 +204,51 @@ def test_differences_encoding():
     assert spans_to_text(spans) == "é•ç!"
 
 
+def test_differences_digit_glyphs():
+    """AGL digit glyph names are 'zero'..'nine', not '0'..'9'."""
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+            b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+            b"/Differences [ 65 /zero /nine /five ] >> >>")
+    res = b"<< /Font << /F1 6 0 R >> >>"
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (ABC!) Tj ET"
+    data = _raw_pdf(content, extra_objs=[font], resources=res)
+    spans, status, _ = parse_pdf_spans(data)
+    assert spans_to_text(spans) == "095!"
+
+
+def test_short_decodeparms_array_does_not_truncate_filters():
+    """/Filter [/AHx /Fl] with a one-element literal /DecodeParms must
+    still apply BOTH filters (zip used to drop the second)."""
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (both filters) Tj ET"
+    body = zlib.compress(content).hex().encode() + b">"
+    obj4 = (b"<< /Filter [/ASCIIHexDecode /FlateDecode] "
+            b"/DecodeParms [null] /Length %d >>\nstream\n" % len(body)
+            + body + b"\nendstream")
+    data = _raw_pdf(b"unused")
+    start = data.index(b"4 0 obj\n") + 8
+    end = data.index(b"\nendobj", start)
+    patched = data[:start] + obj4 + data[end:]
+    spans, status, _ = parse_pdf_spans(patched)
+    assert spans_to_text(spans) == "both filters"
+
+
+def test_sloppy_19_byte_xref_entries():
+    """Xref tables with 1-byte EOLs (19-byte entries) must not drift."""
+    data = encode_pdf(layout_doc(TEXT))
+    i = data.index(b"xref\n")
+    j = data.index(b"trailer")
+    table = data[i:j].replace(b" \n", b"\n")
+    assert len(table) < j - i  # actually shrank
+    shift = (j - i) - len(table)
+    # startxref still points at 'xref' (unmoved); entries' stored
+    # offsets are unchanged since objects precede the table
+    patched = data[:i] + table + data[j:]
+    spans, status, _ = parse_pdf_spans(patched)
+    assert status == "ok", status
+    assert spans_to_text(spans) == _expected(TEXT)
+    assert shift > 0
+
+
 def test_macroman_encoding():
     font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
             b"/Encoding /MacRomanEncoding >>")

@@ -1395,6 +1395,53 @@ def test_warc_stream_memory_envelope():
     assert peak < 24 * 1024 * 1024, f"peak RSS {peak/1e6:.1f} MB"
 
 
+def test_warc_stream_oversized_declared_length(monkeypatch):
+    """A corrupt/crafted multi-GB Content-Length must not re-accumulate
+    the archive in the splitter's buffer (review r7): the body buffers
+    only to _MAX_RECORD_BODY, the rest is skip-discarded, and the NEXT
+    record still parses. Downstream this censuses as truncated_record."""
+    import gzip as _gzip
+    import tracemalloc
+
+    import parse_html_spark.sources.readers as rd
+
+    monkeypatch.setattr(rd, "_MAX_RECORD_BODY", 4096)
+    filler = b"x" * (2 * 1024 * 1024)  # actual bytes behind the lie
+    liar = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://liar/\r\n"
+        b"Content-Length: 999999999999\r\n\r\n" + filler
+    )
+    good_body = b"real record after the liar"
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://good/\r\n"
+        b"Content-Length: " + str(len(good_body)).encode() + b"\r\n\r\n"
+        + good_body + b"\r\n\r\n"
+    )
+    # the liar's declared length swallows everything after it, so the
+    # good record must come FIRST to prove per-record recovery, and a
+    # second archive-shape puts the liar last to prove bounded memory
+    for raw in (good + liar, liar):
+        gz = _gzip.compress(raw)
+        tracemalloc.start()
+        tracemalloc.reset_peak()
+        recs = list(rd._iter_warc_stream(
+            rd._iter_gz_chunks(gz, out_chunk=64 * 1024, in_chunk=64 * 1024)
+        ))
+        _cur, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        lr = recs[-1]
+        assert lr[0]["content-length"] == "999999999999"
+        assert len(lr[1]) == 4096  # buffered only to the cap
+        assert int(lr[0]["content-length"]) > len(lr[1])  # -> truncated_record
+        if raw.startswith(b"WARC/1.0\r\nWARC-Type: response\r\n"
+                          b"WARC-Target-URI: http://good/"):
+            assert recs[0][1] == good_body
+        # envelope: cap + chunk sizes, never the 2 MiB filler
+        assert peak < 1200 * 1024, f"peak {peak/1e3:.0f} KB"
+
+
 def test_warc_stream_splitter_parity_random():
     """Cross-path pin: the streaming splitter over tiny gzip chunks
     must yield byte-identical (headers, body, offset) and status dicts
