@@ -98,3 +98,25 @@ def test_exploded_rows_generated_jvm_side(spark, corpus):
     plan = _plan(extract_spans(corpus))
     assert plan.count("MapInPandas") == 1
     assert "Generate" in plan and "posexplode" in plan
+
+
+def test_pdf_read_single_python_stage(spark, tmp_path):
+    """The PDF source plan is scan -> ONE MapInPandas; an n_chars
+    rollup stays map-side partial with a single-row exchange, and no
+    record-row shuffle ever appears (PLANS.md 'PDF source read')."""
+    from parse_html_spark.sources.pdf import encode_pdf, layout_doc
+    from parse_html_spark.sources.pdf import read_span_docs_pdf
+
+    for i in range(4):
+        (tmp_path / f"{i}.pdf").write_bytes(
+            encode_pdf(layout_doc(f"plan pin doc {i} body text " * 8))
+        )
+    df = read_span_docs_pdf(spark, str(tmp_path))
+    plan = _plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan  # bare read shuffles nothing
+    agg = df.agg(F.sum("n_chars"))
+    aplan = _plan(agg)
+    assert aplan.count("MapInPandas") == 1
+    assert "partial_sum" in aplan
+    assert aplan.count("Exchange") == 1 and "SinglePartition" in aplan
