@@ -79,6 +79,11 @@ def run_bench(cpus: int, extract_only: bool = False, docs: int | None = None) ->
 
 PAIR_DOCS = int(os.environ.get("SPARK_GRAFT_PAIR_DOCS", "200000"))
 
+PRESERVE_MARKER = (
+    "<!-- manual sections below: preserved across run_scaling "
+    "rewrites -->"
+)
+
 
 def interleaved_pair(n_lo: int, n_hi: int, rounds: int = 3) -> dict:
     """A/B-interleaved efficiency: alternate local[n_lo] and local[n_hi]
@@ -179,8 +184,19 @@ Full per-query seconds:
             f"| {q} | {runs[2]['queries'][q]} | {runs[8]['queries'][q]} "
             f"| {runs[32]['queries'][q]} |\n"
         )
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    # everything below the marker (round-over-round adjudications,
+    # optimization-pass A/B tables) survives regeneration
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    preserved = ""
+    if os.path.exists(path):
+        with open(path) as fh:
+            old = fh.read()
+        if PRESERVE_MARKER in old:
+            preserved = old[old.index(PRESERVE_MARKER):]
+    with open(path, "w") as fh:
         fh.write(md)
+        if preserved:
+            fh.write("\n" + preserved)
     print(json.dumps(result))
 
 

@@ -1282,6 +1282,57 @@ def _q_pdf_source(spark, sf_dir):
     )
 
 
+def _q_pdf_census(spark, sf_dir):
+    """Flag-mode PDF decode census under the oracle gate (the
+    warc_census sibling): documents become PDFs with rule-injected
+    damage -- doc_id % 9 == 1 gets an /Encrypt trailer entry (strings
+    would be RC4/AES garbage, so the parser censuses instead of
+    decoding), % 9 == 4 a catalog-less header-only file, % 9 == 7 a
+    clobbered startxref offset (the damaged-xref reconstruction path
+    recovers the FULL text, so its chars stay in the census) -- and the
+    (status_class, n_docs, total_chars) rollup is exactly
+    SQL-predictable."""
+    import os
+
+    from parse_html_spark.sources.pdf import read_span_docs_pdf
+
+    d = _scratch_dir("spark_graft_pdfcensus_")
+
+    def writer(_g, pdf):
+        from parse_html_spark.sources.pdf import encode_pdf, layout_doc
+
+        for i, t in zip(pdf["doc_id"], pdf["text"]):
+            i = int(i)
+            data = encode_pdf(layout_doc(t))
+            if i % 9 == 1:
+                j = data.index(b"/Root")
+                data = data[:j] + b"/Encrypt 9 0 R " + data[j:]
+            elif i % 9 == 4:
+                data = b"%PDF-1.4\n" + t.encode()[:64]
+            elif i % 9 == 7:
+                j = data.rindex(b"startxref")
+                data = data[:j] + b"startxref\n999999999\n%%EOF\n"
+            with open(os.path.join(d, f"{i}.pdf"), "wb") as f:
+                f.write(data)
+
+    _build_fixtures_spark_side(
+        spark,
+        _documents(spark, sf_dir).select("doc_id", "text")
+        .withColumn("g", F.pmod(F.col("doc_id"), F.lit(8))),
+        writer,
+    )
+    df = read_span_docs_pdf(spark, d)
+    return (
+        df.groupBy(
+            F.substring_index("status", ":", 1).alias("status_class")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
 def _q_warc_census(spark, sf_dir):
     """Flag-mode WARC decode census UNDER THE ORACLE GATE (round-5
     hardening promoted to a hash-checked row): documents are sharded
@@ -1706,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_source": _q_warc_source,
         "wet_source": _q_wet_source,
         "pdf_source": _q_pdf_source,
+        "pdf_census": _q_pdf_census,
         "warc_census": _q_warc_census,
         "charset_census": _q_charset_census,
         "media_census": _q_media_census,
@@ -2233,6 +2285,22 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_source": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 3 AS n_spans, "
             "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+        ),
+        "pdf_census": (
+            # wrapped chars = len + ceil(len/64) - 1 (single text span);
+            # damaged-startxref docs (%9=7) recover fully via xref
+            # reconstruction, encrypted (%9=1) and catalog-less (%9=4)
+            # decode nothing
+            "SELECT 'ok' AS status_class, CAST(count(*) AS BIGINT) AS "
+            "n_docs, CAST(sum(length(text) + CAST(ceil(length(text) / "
+            "64.0) AS BIGINT) - 1) AS BIGINT) AS total_chars "
+            "FROM documents WHERE doc_id % 9 NOT IN (1, 4, 7) "
+            "UNION ALL SELECT 'ok_with_warnings', CAST(count(*) AS "
+            "BIGINT), CAST(sum(length(text) + CAST(ceil(length(text) / "
+            "64.0) AS BIGINT) - 1) AS BIGINT) "
+            "FROM documents WHERE doc_id % 9 = 7 "
+            "UNION ALL SELECT 'pdf_error', CAST(count(*) AS BIGINT), "
+            "CAST(0 AS BIGINT) FROM documents WHERE doc_id % 9 IN (1, 4)"
         ),
         "pdf_source": (
             # wrapped = text split into 64-char PDF lines joined by \n;
