@@ -1282,6 +1282,83 @@ def _q_pdf_source(spark, sf_dir):
     )
 
 
+def _url_col():
+    """Deterministic messy-URL synthesis from doc_id (the documents
+    table has no URL column; the SAME modular recipe lives in the
+    oracle SQL, which writes the CANONICAL form directly): doc_id % 5
+    -- 0: uppercase scheme/host + :443 + trailing slash + utm_* +
+    fragment; 1: the already-canonical twin of doc (id-1) (a cross-doc
+    duplicate pair); 2: a blocklisted host with :80; 3: not a URL;
+    4: shared-across-ids path with only tracking params (collides per
+    id%7 class)."""
+    i = F.col("doc_id").cast("bigint")
+    m = F.pmod(i, F.lit(5))
+    s = lambda c: c.cast("string")  # noqa: E731
+    return (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://Site"), s(F.pmod(i, F.lit(7))),
+            F.lit(".Example.COM:443/art/"), s(i),
+            F.lit("/?utm_source=x&b=2&a=1#frag"),
+        ))
+        .when(m == 1, F.concat(
+            F.lit("https://site"), s(F.pmod(i - 1, F.lit(7))),
+            F.lit(".example.com/art/"), s(i - 1), F.lit("?a=1&b=2"),
+        ))
+        .when(m == 2, F.concat(
+            F.lit("http://Blocked"), s(F.pmod(i, F.lit(3))),
+            F.lit(".Spam.ORG:80/page/"),
+        ))
+        .when(m == 3, F.concat(F.lit("not a url "), s(i)))
+        .otherwise(F.concat(
+            F.lit("http://plain"), s(F.pmod(i, F.lit(7))),
+            F.lit(".org/x?utm_campaign=z#x"),
+        ))
+    )
+
+
+def _q_url_canon(spark, sf_dir):
+    """URL canonicalization + host + registered-domain as pure Column
+    expressions (functions/urlfn.py) under the hash gate: the oracle
+    writes the expected canonical strings directly from the modular
+    recipe, so scheme/host lowercasing, default-port strip, fragment
+    strip, tracking-param removal, param sorting, and trailing-slash
+    normalization are each checked byte-for-byte."""
+    from parse_html_spark.functions.urlfn import (
+        url_canonicalize,
+        url_host,
+        url_registered_domain,
+    )
+
+    u = _url_col()
+    return _documents(spark, sf_dir).select(
+        F.col("doc_id"),
+        url_canonicalize(u).alias("canonical_url"),
+        url_host(u).alias("host"),
+        url_registered_domain(u).alias("reg_domain"),
+    )
+
+
+def _q_url_dedup(spark, sf_dir):
+    """Blocklist filter (broadcast LEFT ANTI -- the corpus side never
+    shuffles) + canonical-URL first-seen dedup: messy/canonical twin
+    pairs collapse to the lower id, same-path docs collapse per id%7
+    class, blocked hosts vanish, non-URLs are all retained."""
+    from parse_html_spark.functions.urlfn import (
+        filter_blocked_hosts,
+        url_dedup_first_seen,
+    )
+
+    df = _documents(spark, sf_dir).select(
+        "doc_id", _url_col().alias("url")
+    )
+    bl = spark.createDataFrame(
+        [(f"blocked{k}.spam.org",) for k in range(3)], "host string"
+    )
+    return url_dedup_first_seen(filter_blocked_hosts(df, bl)).select(
+        "doc_id", "canonical_url"
+    )
+
+
 def _q_pdf_census(spark, sf_dir):
     """Flag-mode PDF decode census under the oracle gate (the
     warc_census sibling): documents become PDFs with rule-injected
@@ -1758,6 +1835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_source": _q_wet_source,
         "pdf_source": _q_pdf_source,
         "pdf_census": _q_pdf_census,
+        "url_canon": _q_url_canon,
+        "url_dedup": _q_url_dedup,
         "warc_census": _q_warc_census,
         "charset_census": _q_charset_census,
         "media_census": _q_media_census,
@@ -2285,6 +2364,53 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_source": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 3 AS n_spans, "
             "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+        ),
+        "url_canon": (
+            # the oracle writes the CANONICAL forms straight from the
+            # doc_id % 5 recipe (_url_col builds the messy inputs)
+            "SELECT doc_id, "
+            "CASE doc_id % 5 "
+            "WHEN 0 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.example.com/art/' || CAST(doc_id AS VARCHAR) "
+            "|| '?a=1&b=2' "
+            "WHEN 1 THEN 'https://site' || CAST((doc_id - 1) % 7 AS "
+            "VARCHAR) || '.example.com/art/' || CAST(doc_id - 1 AS "
+            "VARCHAR) || '?a=1&b=2' "
+            "WHEN 2 THEN 'http://blocked' || CAST(doc_id % 3 AS VARCHAR) "
+            "|| '.spam.org/page' "
+            "WHEN 4 THEN 'http://plain' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.org/x' END AS canonical_url, "
+            "CASE doc_id % 5 "
+            "WHEN 0 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.example.com' "
+            "WHEN 1 THEN 'site' || CAST((doc_id - 1) % 7 AS VARCHAR) "
+            "|| '.example.com' "
+            "WHEN 2 THEN 'blocked' || CAST(doc_id % 3 AS VARCHAR) "
+            "|| '.spam.org' "
+            "WHEN 4 THEN 'plain' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.org' END AS host, "
+            "CASE doc_id % 5 "
+            "WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.com' "
+            "WHEN 2 THEN 'spam.org' "
+            "WHEN 4 THEN 'plain' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.org' END AS reg_domain "
+            "FROM documents"
+        ),
+        "url_dedup": (
+            "WITH u AS (SELECT doc_id, CASE doc_id % 5 "
+            "WHEN 0 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.example.com/art/' || CAST(doc_id AS VARCHAR) "
+            "|| '?a=1&b=2' "
+            "WHEN 1 THEN 'https://site' || CAST((doc_id - 1) % 7 AS "
+            "VARCHAR) || '.example.com/art/' || CAST(doc_id - 1 AS "
+            "VARCHAR) || '?a=1&b=2' "
+            "WHEN 4 THEN 'http://plain' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.org/x' END AS canonical_url "
+            "FROM documents WHERE doc_id % 5 <> 2) "
+            "SELECT doc_id, canonical_url FROM u a "
+            "WHERE a.canonical_url IS NULL "
+            "OR a.doc_id = (SELECT min(b.doc_id) FROM u b "
+            "WHERE b.canonical_url = a.canonical_url)"
         ),
         "pdf_census": (
             # wrapped chars = len + ceil(len/64) - 1 (single text span);

@@ -1,0 +1,125 @@
+"""URL pipeline operators for a crawl-scale training corpus.
+
+Engine-new capability (the reference takes caller strings only,
+/root/reference/src/ParseHTML.php:136-149): the standard pre-dedup
+URL stage of a CC-Net/RefinedWeb-style pipeline -- canonicalize,
+host extraction, domain blocklist filtering, and canonical-URL
+first-seen dedup. Everything is pure Column expressions (one
+codegen'd projection per row, no UDFs) except the blocklist join,
+which broadcasts: blocklists are KBs-to-MBs against TBs of pages.
+
+Canonicalization recipe (applied in this order, each a narrow
+expression; documented so the DuckDB oracle can mirror it exactly):
+
+1. scheme and host lowercase (userinfo is not handled: crawl URLs
+   with credentials are dropped by real pipelines before this stage);
+2. default ports stripped (:80 for http, :443 for https);
+3. fragment stripped;
+4. tracking params removed (utm_*, fbclid, gclid, msclkid, mc_eid,
+   igshid, ref_src), then remaining query params SORTED for
+   order-insensitive equality;
+5. empty query ('?' with nothing surviving) dropped;
+6. trailing '/' dropped from non-root paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# dialect-portable (Spark codegen + DuckDB RE2): no lookaround
+_TRACKING_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)="
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+
+
+def url_host(col) -> Column:
+    """Lowercased host (port stripped); NULL for non-URLs."""
+    authority = F.lower(F.regexp_extract(col, _URL_RE, 2))
+    host = F.regexp_replace(authority, r":\d*$", "")
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def url_registered_domain(col, n_labels: int = 2) -> Column:
+    """Last ``n_labels`` host labels ('news.bbc.co.uk' -> 'co.uk' at 2).
+    A public-suffix list is deployment data, not code: pass n_labels=3
+    for ccTLD-heavy corpora, or join your own PSL table upstream."""
+    parts = F.split(url_host(col), r"\.")
+    n = F.size(parts)
+    return F.when(
+        n <= n_labels, F.array_join(parts, ".")
+    ).otherwise(
+        F.array_join(F.slice(parts, n - (n_labels - 1), n_labels), ".")
+    )
+
+
+def url_canonicalize(col) -> Column:
+    """Canonical URL per the module recipe; NULL for non-URLs."""
+    scheme = F.lower(F.regexp_extract(col, _URL_RE, 1))
+    authority = F.lower(F.regexp_extract(col, _URL_RE, 2))
+    path = F.regexp_extract(col, _URL_RE, 3)
+    query = F.regexp_extract(col, _URL_RE, 4)  # includes leading '?'
+
+    authority = F.when(
+        (scheme == "http"), F.regexp_replace(authority, r":80$", "")
+    ).otherwise(
+        F.when(
+            scheme == "https", F.regexp_replace(authority, r":443$", "")
+        ).otherwise(authority)
+    )
+
+    params = F.filter(
+        F.split(F.regexp_replace(query, r"^\?", ""), "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    )
+    canon_q = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            (path != "/") & path.endswith("/"),
+            F.regexp_replace(path, r"/$", ""),
+        ).otherwise(path)
+    )
+
+    out = F.concat(scheme, F.lit("://"), authority, path, canon_q)
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(out)
+
+
+def filter_blocked_hosts(
+    df: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop rows whose url host appears in ``blocklist`` (a DataFrame
+    with one 'host' column). Broadcast LEFT ANTI join: the blocklist is
+    KBs-to-MBs, the corpus is TBs -- never shuffle the big side."""
+    hosts = F.broadcast(blocklist.select(F.lower("host").alias("host")))
+    return (
+        df.withColumn("_h", url_host(F.col(url_col)))
+        .join(hosts, F.col("_h") == hosts["host"], "left_anti")
+        .drop("_h")
+    )
+
+
+def url_dedup_first_seen(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per canonical URL: the min-id occurrence wins (the same
+    keeper rule as exact text dedup -- deterministic in any engine).
+    One hash aggregation on the canonical url, map-side combined.
+    Rows whose url does not parse (canonical_url NULL) are never
+    grouped -- each keeps its own row (a NULL join key would silently
+    drop them instead)."""
+    canon = df.withColumn("_cu", url_canonicalize(F.col(url_col)))
+    key = F.coalesce(
+        F.col("_cu"),
+        F.concat(F.lit("\x00nonurl:"), F.col(id_col).cast("string")),
+    )
+    keyed = canon.withColumn("_k", key)
+    keep = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(keep, ["_k", id_col])
+        .drop(url_col, "_k")
+        .withColumnRenamed("_cu", "canonical_url")
+    )
