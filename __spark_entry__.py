@@ -1382,7 +1382,11 @@ def _q_pdf_census(spark, sf_dir):
             i = int(i)
             data = encode_pdf(layout_doc(t))
             if i % 9 == 1:
-                j = data.index(b"/Root")
+                # rindex: document text embeds as plaintext literal
+                # strings, so a doc whose text contains '/Root' would
+                # otherwise get the injection inside a content stream
+                # (review r7); the trailer's /Root is always LAST here
+                j = data.rindex(b"/Root")
                 data = data[:j] + b"/Encrypt 9 0 R " + data[j:]
             elif i % 9 == 4:
                 data = b"%PDF-1.4\n" + t.encode()[:64]

@@ -34,9 +34,13 @@ _URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
 
 
 def url_host(col) -> Column:
-    """Lowercased host (port stripped); NULL for non-URLs."""
+    """Lowercased host (port stripped, trailing FQDN dot stripped --
+    'spam.org.' resolves identically to 'spam.org' and must not evade
+    a blocklist); NULL for non-URLs."""
     authority = F.lower(F.regexp_extract(col, _URL_RE, 2))
-    host = F.regexp_replace(authority, r":\d*$", "")
+    host = F.regexp_replace(
+        F.regexp_replace(authority, r":\d*$", ""), r"\.+$", ""
+    )
     return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
 
 
@@ -60,6 +64,9 @@ def url_canonicalize(col) -> Column:
     path = F.regexp_extract(col, _URL_RE, 3)
     query = F.regexp_extract(col, _URL_RE, 4)  # includes leading '?'
 
+    # FQDN trailing dot ('host.org.' == 'host.org'), keeping any port:
+    # the capture puts the port back after the dots are dropped
+    authority = F.regexp_replace(authority, r"\.+(:\d*)?$", r"$1")
     authority = F.when(
         (scheme == "http"), F.regexp_replace(authority, r":80$", "")
     ).otherwise(
@@ -77,12 +84,11 @@ def url_canonicalize(col) -> Column:
         F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
     ).otherwise(F.lit(""))
 
-    path = F.when(path == "", F.lit("/")).otherwise(
-        F.when(
-            (path != "/") & path.endswith("/"),
-            F.regexp_replace(path, r"/$", ""),
-        ).otherwise(path)
-    )
+    # ALL trailing slashes (one pass keeps canonicalization idempotent:
+    # '/x', '/x/', '/x//' are one resource); a path that strips to
+    # nothing is the root
+    stripped = F.regexp_replace(path, r"/+$", "")
+    path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
 
     out = F.concat(scheme, F.lit("://"), authority, path, canon_q)
     return F.when(scheme == "", F.lit(None).cast("string")).otherwise(out)

@@ -34,6 +34,16 @@ CASES = [
      "https://sub.news.bbc.co.uk/art", "sub.news.bbc.co.uk", "co.uk"),
     ("http://a.b/p?z=1&y=2&z=0", "http://a.b/p?y=2&z=0&z=1",
      "a.b", "a.b"),  # params sorted, duplicates kept
+    # multi-slash tails are ONE resource (review r7: single-slash strip
+    # broke idempotence and missed slash-variant duplicates)
+    ("http://a.io/x//", "http://a.io/x", "a.io", "a.io"),
+    ("http://a.io///", "http://a.io/", "a.io", "a.io"),
+    # FQDN trailing dot resolves identically -- must not evade a
+    # blocklist or dedup separately (review r7)
+    ("http://Spam.Bad.ORG./x", "http://spam.bad.org/x",
+     "spam.bad.org", "bad.org"),
+    ("http://spam.bad.org.:8080/x", "http://spam.bad.org:8080/x",
+     "spam.bad.org", "bad.org"),
     ("not a url", None, None, None),
     ("", None, None, None),
 ]
@@ -65,7 +75,8 @@ def test_canonicalize_idempotent(spark):
 def test_blocklist_broadcast_anti_join(spark):
     df = spark.createDataFrame(
         [(1, "http://ok.org/a"), (2, "http://Spam.BAD.org:80/x"),
-         (3, "not a url"), (4, "http://spam.bad.org/other")],
+         (3, "not a url"), (4, "http://spam.bad.org/other"),
+         (5, "http://spam.bad.org./fqdn-dot-evasion")],
         "doc_id long, url string",
     )
     bl = spark.createDataFrame([("spam.bad.org",)], "host string")
