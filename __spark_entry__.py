@@ -1359,6 +1359,16 @@ def _q_url_dedup(spark, sf_dir):
     )
 
 
+def _q_chunk_dup(spark, sf_dir):
+    """Exact-substring (k-token chunk) duplication census under the
+    hash gate: the corpus's built-in prefix-extension and exact-copy
+    near-dups share full 10-token chunks, so every count is
+    SQL-predictable from the same chunking recipe in DuckDB."""
+    from parse_html_spark.functions.dedup import chunk_dup_stats
+
+    return chunk_dup_stats(_documents(spark, sf_dir), k=10)
+
+
 def _q_pdf_census(spark, sf_dir):
     """Flag-mode PDF decode census under the oracle gate (the
     warc_census sibling): documents become PDFs with rule-injected
@@ -1841,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_census": _q_pdf_census,
         "url_canon": _q_url_canon,
         "url_dedup": _q_url_dedup,
+        "chunk_dup": _q_chunk_dup,
         "warc_census": _q_warc_census,
         "charset_census": _q_charset_census,
         "media_census": _q_media_census,
@@ -2368,6 +2379,27 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_source": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 3 AS n_spans, "
             "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+        ),
+        "chunk_dup": (
+            # identical chunking recipe: lower/trim, \s+ split, empties
+            # removed, non-overlapping full 10-token windows
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            "x -> x <> '') AS t FROM documents), "
+            "occ AS (SELECT doc_id, "
+            "array_to_string(t[j*10+1:j*10+10], ' ') AS chunk "
+            "FROM toks, UNNEST(range(CAST(floor(len(t)/10.0) AS "
+            "BIGINT))) AS u(j)), "
+            "cnt AS (SELECT chunk, count(*) AS c FROM occ GROUP BY "
+            "chunk), "
+            "st AS (SELECT occ.doc_id, count(*) AS n_chunks, "
+            "sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS n_dup "
+            "FROM occ JOIN cnt USING(chunk) GROUP BY occ.doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(st.n_chunks, 0) AS BIGINT) "
+            "AS n_chunks, CAST(coalesce(st.n_dup, 0) AS BIGINT) AS "
+            "n_dup_chunks, round(coalesce(st.n_dup, 0) * 1.0 / "
+            "greatest(coalesce(st.n_chunks, 0), 1), 4) AS dup_ratio "
+            "FROM documents d LEFT JOIN st USING(doc_id)"
         ),
         "url_canon": (
             # the oracle writes the CANONICAL forms straight from the

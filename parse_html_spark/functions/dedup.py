@@ -550,6 +550,77 @@ def shingles_col(text_col, shingle_words: int = 3):
     )
 
 
+def chunk_col(text_col, k: int = 20):
+    """Non-overlapping k-token chunks as array<string> (the RefinedWeb/
+    FineWeb exact-substring dedup unit): lower(trim(text)) whitespace
+    tokens, full windows only -- docs shorter than k tokens produce an
+    empty array. Pure Column exprs; the window array is built from k
+    PRE-SLICED copies of the token array (the shingles_col pattern --
+    see its docstring for why the transform(sequence...) form is an
+    O(n * doc_len) trap), then every k-th overlapping window is kept
+    via filter's index lambda (touches only its lambda args)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n_win = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    win = F.slice(toks, 1, n_win)
+    for j in range(1, k):
+        win = F.zip_with(
+            win,
+            F.slice(toks, j + 1, n_win),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.filter(win, lambda _x, i: i % k == 0)
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication census: per document, how many of
+    its k-token chunks occur >= 2 times corpus-wide (any doc, any
+    position -- within-doc repetition counts too).
+
+    Shape at 100 TB: one explode -> one map-side-combined hash agg per
+    chunk -> an equi-join of occurrences to the one-row-per-chunk count
+    table (hot chunks skew only the probe side; AQE handles it) -> one
+    groupBy(id). Documents with no full chunk stay in the output with
+    zeros (explode_outer + left join).
+
+    Output: (id, n_chunks, n_dup_chunks, dup_ratio)."""
+    occ = df.select(
+        F.col(id_col),
+        F.explode_outer(chunk_col(F.col(text_col), k)).alias("chunk"),
+    )
+    counts = (
+        occ.filter(F.col("chunk").isNotNull())
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    joined = occ.join(counts, "chunk", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("chunk").cast("bigint").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("_c") >= 2, 1).otherwise(0)
+            ).cast("bigint").alias("n_dup_chunks"),
+        )
+        .select(
+            F.col(id_col),
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(
+                F.col("n_dup_chunks")
+                / F.greatest(F.col("n_chunks"), F.lit(1)),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def jaccard_verify_pairs(
     df: DataFrame,
     pairs: DataFrame,

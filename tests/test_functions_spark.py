@@ -380,6 +380,38 @@ def test_pii_phone_no_partial_redaction(spark):
     assert r["p"]["n_phone"] == 1
 
 
+def test_chunk_dup_stats(spark):
+    """Exact-substring chunk dedup: cross-doc shared chunks, within-doc
+    repetition, short docs (no full window), and NULL text all land in
+    the output with the right counts."""
+    from parse_html_spark.functions.dedup import chunk_dup_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # 'a b c', 'd e f'
+            (2, "A  b   C x y z"),     # case/space-insensitive 'a b c'
+            (3, "p q"),                # < k tokens: zero chunks
+            (4, "m m m m m m m m m"),  # 3 identical within-doc chunks
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in chunk_dup_stats(df, k=3).collect()}
+    assert len(rows) == 5
+    assert (rows[1]["n_chunks"], rows[1]["n_dup_chunks"]) == (2, 1)
+    assert (rows[2]["n_chunks"], rows[2]["n_dup_chunks"]) == (2, 1)
+    assert rows[1]["dup_ratio"] == 0.5
+    assert (rows[3]["n_chunks"], rows[3]["n_dup_chunks"]) == (0, 0)
+    assert (rows[4]["n_chunks"], rows[4]["n_dup_chunks"]) == (3, 3)
+    assert rows[4]["dup_ratio"] == 1.0
+    assert (rows[5]["n_chunks"], rows[5]["dup_ratio"]) == (0, 0.0)
+    plan = (
+        chunk_dup_stats(df, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in plan  # chunk counts map-side combined
+
+
 def test_dedup_lines_global(spark):
     """C4-style global line dedup: first (doc, pos) occurrence wins
     corpus-wide, within-doc repeats drop, short lines bypass, fully
