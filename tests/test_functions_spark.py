@@ -412,6 +412,34 @@ def test_chunk_dup_stats(spark):
     assert "partial_count" in plan  # chunk counts map-side combined
 
 
+def test_chunk_col_reconstructs_prefix(spark):
+    """Property pin over seeded-random docs: joining a doc's chunks
+    with spaces reproduces exactly its first n_chunks*k normalized
+    tokens (windows are disjoint, ordered, and full)."""
+    import random
+
+    from parse_html_spark.functions.dedup import chunk_col
+
+    rng = random.Random(7)
+    words = "alpha beta Gamma DELTA ep zed x7 q".split()
+    docs = []
+    for i in range(120):
+        n = rng.randrange(0, 40)
+        docs.append((i, "  ".join(rng.choice(words) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 5
+    rows = df.select(
+        "text",
+        F.array_join(chunk_col(F.col("text"), k), " ").alias("joined"),
+        F.size(chunk_col(F.col("text"), k)).alias("n"),
+    ).collect()
+    for r in rows:
+        toks = r["text"].lower().split()
+        n_chunks = len(toks) // k
+        assert r["n"] == n_chunks
+        assert r["joined"] == " ".join(toks[: n_chunks * k])
+
+
 def test_dedup_lines_global(spark):
     """C4-style global line dedup: first (doc, pos) occurrence wins
     corpus-wide, within-doc repeats drop, short lines bypass, fully

@@ -72,6 +72,45 @@ def test_canonicalize_idempotent(spark):
         assert r["once"] == r["twice"]
 
 
+def test_canonicalize_idempotent_random(spark):
+    """Property pin over 400 seeded-random structured URLs and junk
+    strings: canonicalize(canonicalize(x)) == canonicalize(x), and the
+    canonical form's host always equals url_host of the original."""
+    import random
+
+    rng = random.Random(42)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["A.b.C", "x.io", "Spam.ORG.", "a.b.c.d..", "q"]
+    ports = ["", ":80", ":443", ":8080", ":"]
+    paths = ["", "/", "/x", "/x/", "/x//", "/a/b.html", "///"]
+    queries = ["", "?", "?a=1", "?b=2&a=1", "?utm_source=x",
+               "?utm_a=1&z=9&utm_b=2", "?a=1&a=0"]
+    frags = ["", "#f", "#a/b?c=1"]
+    raws = []
+    for _ in range(360):
+        raws.append(
+            rng.choice(schemes) + "://" + rng.choice(hosts)
+            + rng.choice(ports) + rng.choice(paths)
+            + rng.choice(queries) + rng.choice(frags)
+        )
+    for _ in range(40):
+        raws.append("".join(
+            rng.choice("ab:/?#=&. ") for _ in range(rng.randrange(0, 24))
+        ))
+    df = spark.createDataFrame([(r,) for r in raws], "url string")
+    rows = df.select(
+        "url",
+        url_canonicalize(F.col("url")).alias("once"),
+        url_canonicalize(url_canonicalize(F.col("url"))).alias("twice"),
+        url_host(F.col("url")).alias("h"),
+        url_host(url_canonicalize(F.col("url"))).alias("h2"),
+    ).collect()
+    for r in rows:
+        assert r["once"] == r["twice"], r["url"]
+        if r["once"] is not None:
+            assert r["h2"] == r["h"], r["url"]
+
+
 def test_blocklist_broadcast_anti_join(spark):
     df = spark.createDataFrame(
         [(1, "http://ok.org/a"), (2, "http://Spam.BAD.org:80/x"),
