@@ -1117,6 +1117,9 @@ def _interpret_content(doc: _Doc, content: bytes, resources, runs,
     def fnum(v, default=0.0):
         return float(v) if isinstance(v, (int, float)) else default
 
+    num_match = _NUM_RE.match
+    kw_match = _KW_RE.match
+    op_append = operands.append
     while pos < n:
         pos = _skip_ws(content, pos)
         if pos >= n:
@@ -1125,22 +1128,60 @@ def _interpret_content(doc: _Doc, content: bytes, resources, runs,
         if nops > _MAX_CONTENT_OPS:
             doc.warnings.append("content op cap hit")
             break
-        try:
-            tok, pos2 = _parse_object(content, pos)
-        except PdfError:
-            pos += 1
-            operands = []
-            continue
-        if pos2 <= pos:
-            pos += 1
-            continue
-        pos = pos2
-        if not isinstance(tok, _Kw):
-            operands.append(tok)
-            if len(operands) > 64:
-                operands = operands[-64:]
-            continue
-        op = str(tok)
+        # inline fast paths for the two dominant token classes --
+        # numbers (positioning operands) and operator keywords -- to
+        # skip _parse_object's dispatch + re-skip per token
+        c = content[pos]
+        if 0x30 <= c <= 0x39 or c in (0x2B, 0x2D, 0x2E):  # digit + - .
+            m = num_match(content, pos)
+            if m is not None:
+                t = m.group()
+                op_append(float(t) if b"." in t else int(t))
+                if len(operands) > 64:
+                    operands = operands[-64:]
+                    op_append = operands.append
+                pos = m.end()
+                continue
+        op = None
+        if (0x41 <= c <= 0x5A or 0x61 <= c <= 0x7A or c in (
+            0x27, 0x22, 0x2A,
+        )):
+            m = kw_match(content, pos)
+            if m is not None:
+                kw = m.group()
+                if kw == b"true":
+                    op_append(True)
+                elif kw == b"false":
+                    op_append(False)
+                elif kw == b"null":
+                    op_append(None)
+                else:
+                    op = kw.decode("latin-1")
+                pos = m.end()
+                if op is None:
+                    if len(operands) > 64:
+                        operands = operands[-64:]
+                        op_append = operands.append
+                    continue
+        if op is None:
+            try:
+                tok, pos2 = _parse_object(content, pos)
+            except PdfError:
+                pos += 1
+                operands = []
+                op_append = operands.append
+                continue
+            if pos2 <= pos:
+                pos += 1
+                continue
+            pos = pos2
+            if not isinstance(tok, _Kw):
+                op_append(tok)
+                if len(operands) > 64:
+                    operands = operands[-64:]
+                    op_append = operands.append
+                continue
+            op = str(tok)
         try:
             if op == "q":
                 if len(gstack) < 256:
@@ -1238,6 +1279,7 @@ def _interpret_content(doc: _Doc, content: bytes, resources, runs,
         except PdfError as exc:
             doc.warnings.append(f"content op {op}: {exc}")
         operands = []
+        op_append = operands.append
     return seq
 
 
