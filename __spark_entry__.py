@@ -1369,6 +1369,48 @@ def _q_chunk_dup(spark, sf_dir):
     return chunk_dup_stats(_documents(spark, sf_dir), k=10)
 
 
+def _q_stream_url_dedup(spark, sf_dir):
+    """Streaming stateful first-seen dedup keyed by CANONICAL URL
+    (availableNow, applyInPandasWithState) oracle-checked against the
+    batch keeper rule: over the _url_col corpus in one micro-batch,
+    the emitted (url_key, doc_id) set equals canonical-URL groups with
+    their lexicographically-first string doc_id; non-URL rows carry
+    their per-doc sentinel key and all survive."""
+    from parse_html_spark.streaming import streaming_url_dedup_first_seen
+
+    urls = (
+        _documents(spark, sf_dir)
+        .select(
+            _url_col().alias("url"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+        )
+        .withColumn("g", F.lit(0))
+    )
+
+    def start(in_dir, out_dir, ckpt):
+        path = f"{in_dir}/urls.parquet"
+
+        def writer(_g, pdf):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table({
+                    "doc_id": pa.array(pdf["doc_id"], type=pa.string()),
+                    "url": pa.array(pdf["url"], type=pa.string()),
+                }),
+                path,
+            )
+
+        _build_fixtures_spark_side(spark, urls, writer)
+        return (
+            streaming_url_dedup_first_seen(spark, in_dir, out_dir, ckpt),
+            spark,
+        )
+
+    return _run_stream(start, ["url_key", "doc_id"])
+
+
 def _q_pdf_census(spark, sf_dir):
     """Flag-mode PDF decode census under the oracle gate (the
     warc_census sibling): documents become PDFs with rule-injected
@@ -1852,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": _q_url_canon,
         "url_dedup": _q_url_dedup,
         "chunk_dup": _q_chunk_dup,
+        "stream_url_dedup": _q_stream_url_dedup,
         "warc_census": _q_warc_census,
         "charset_census": _q_charset_census,
         "media_census": _q_media_census,
@@ -2379,6 +2422,22 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_source": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 3 AS n_spans, "
             "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+        ),
+        "stream_url_dedup": (
+            "WITH u AS (SELECT CAST(doc_id AS VARCHAR) AS sid, "
+            "CASE doc_id % 5 "
+            "WHEN 0 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.example.com/art/' || CAST(doc_id AS VARCHAR) "
+            "|| '?a=1&b=2' "
+            "WHEN 1 THEN 'https://site' || CAST((doc_id - 1) % 7 AS "
+            "VARCHAR) || '.example.com/art/' || CAST(doc_id - 1 AS "
+            "VARCHAR) || '?a=1&b=2' "
+            "WHEN 2 THEN 'http://blocked' || CAST(doc_id % 3 AS VARCHAR) "
+            "|| '.spam.org/page' "
+            "WHEN 3 THEN chr(0) || 'nonurl:' || CAST(doc_id AS VARCHAR) "
+            "WHEN 4 THEN 'http://plain' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.org/x' END AS url_key FROM documents) "
+            "SELECT url_key, min(sid) AS doc_id FROM u GROUP BY url_key"
         ),
         "chunk_dup": (
             # identical chunking recipe: lower/trim, \s+ split, empties

@@ -143,6 +143,63 @@ def streaming_dedup_first_seen(
     )
 
 
+def streaming_url_dedup_first_seen(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_ttl_ms: int | None = None,
+):
+    """First-seen dedup keyed by CANONICAL URL over an unbounded
+    (doc_id, url) stream -- the crawl-frontier form of
+    streaming_dedup_first_seen, sharing its _make_first_seen state
+    function (same TTL semantics, same group-wide min(doc_id) keeper
+    within a micro-batch). The key is url_canonicalize(url)
+    (functions/urlfn.py), so messy variants of one resource dedup
+    together; rows whose url does not parse get a per-doc sentinel key
+    and are never grouped or dropped (the batch url_dedup rule).
+
+    Output rows: (url_key, doc_id)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .functions.urlfn import url_canonicalize
+    from .session import ensure_py_files
+
+    ensure_py_files(spark)
+    sdf = spark.readStream.schema("doc_id string, url string").parquet(
+        input_dir
+    )
+    keyed = sdf.select(
+        "doc_id",
+        F.coalesce(
+            url_canonicalize(F.col("url")),
+            F.concat(F.lit("\x00nonurl:"), F.col("doc_id")),
+        ).alias("fp"),
+    )
+    first_seen = _make_first_seen(state_ttl_ms)
+    out = keyed.groupBy("fp").applyInPandasWithState(
+        first_seen,
+        outputStructType="fp string, doc_id string",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+    return (
+        out.withColumnRenamed("fp", "url_key")
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_event_rollup(
     spark,
     input_dir: str,

@@ -228,6 +228,49 @@ def test_streaming_dedup_equals_batch_keepers(spark, tmp_path):
     assert stream_kept == batch_kept
 
 
+def test_streaming_url_dedup_equals_batch(spark, tmp_path):
+    """Streaming<->batch equivalence pin for URL dedup: availableNow
+    first-seen over (doc_id, url) rows keeps exactly the batch
+    url_dedup_first_seen keepers -- messy/canonical variants of one
+    resource collapse, non-URL rows all survive on sentinel keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parse_html_spark.functions.urlfn import url_dedup_first_seen
+    from parse_html_spark.streaming import streaming_url_dedup_first_seen
+
+    rows = [
+        ("01", "HTTPS://A.io:443/p/?utm_source=x&b=2&a=1"),
+        ("02", "https://a.io/p?a=1&b=2"),   # same canonical as 01
+        ("03", "https://a.io/q"),
+        ("04", "junk one"),
+        ("05", "junk two"),
+        ("06", "https://a.io./q"),          # FQDN-dot variant of 03
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "url": pa.array([r[1] for r in rows], type=pa.string()),
+        }),
+        os.path.join(in_dir, "urls.parquet"),
+    )
+    out_dir = str(tmp_path / "out")
+    q = streaming_url_dedup_first_seen(
+        spark, in_dir, out_dir, str(tmp_path / "ck")
+    )
+    q.awaitTermination(180)
+    stream_kept = {
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = spark.createDataFrame(rows, "doc_id string, url string")
+    batch_kept = {
+        r["doc_id"] for r in url_dedup_first_seen(batch).collect()
+    }
+    assert stream_kept == batch_kept == {"01", "03", "04", "05"}
+
+
 def test_streaming_near_dup_covers_batch_verified_pairs(spark, tmp_path):
     """Streaming<->batch equivalence pin: the stateful MinHash-LSH
     stream's candidate edges cover every batch VERIFIED near-dup pair
