@@ -554,23 +554,19 @@ def chunk_col(text_col, k: int = 20):
     """Non-overlapping k-token chunks as array<string> (the RefinedWeb/
     FineWeb exact-substring dedup unit): lower(trim(text)) whitespace
     tokens, full windows only -- docs shorter than k tokens produce an
-    empty array. Pure Column exprs; the window array is built from k
-    PRE-SLICED copies of the token array (the shingles_col pattern --
-    see its docstring for why the transform(sequence...) form is an
-    O(n * doc_len) trap), then every k-th overlapping window is kept
-    via filter's index lambda (touches only its lambda args)."""
-    toks = F.filter(
-        F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != ""
+    empty array.
+
+    ONE codegen'd regex pass: the text is whitespace-normalized once,
+    then regexp_extract_all's left-to-right non-overlapping scan of
+    k space-separated tokens IS the disjoint windowing (the partial
+    tail never matches). The zip_with windowing form (shingles_col)
+    would evaluate the tokenization under 2k interpreted higher-order
+    operands per row -- review r7; at k=20 that is ~40 regex splits of
+    the whole document per row vs one here."""
+    norm = F.regexp_replace(F.lower(text_col), r"\s+", " ")
+    return F.regexp_extract_all(
+        norm, F.lit(r"\S+(?: \S+){%d}" % (k - 1)), 0
     )
-    n_win = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    win = F.slice(toks, 1, n_win)
-    for j in range(1, k):
-        win = F.zip_with(
-            win,
-            F.slice(toks, j + 1, n_win),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    return F.filter(win, lambda _x, i: i % k == 0)
 
 
 def chunk_dup_stats(

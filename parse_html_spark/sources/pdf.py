@@ -1182,6 +1182,20 @@ def _interpret_content(doc: _Doc, content: bytes, resources, runs,
                     op_append = operands.append
                 continue
             op = str(tok)
+        if op == "R" and len(operands) >= 2 and (
+            isinstance(operands[-1], int)
+            and isinstance(operands[-2], int)
+            and operands[-2] >= 0
+            and operands[-1] >= 0
+        ):
+            # the number fast path no longer folds 'N G R' into a _Ref
+            # the way _parse_object does; restore that fold here so a
+            # stray indirect reference in a content stream stays ONE
+            # operand instead of becoming an unknown operator that
+            # clears the stack (review r7 -- semantics, not speed)
+            gen = operands.pop()
+            operands[-1] = _Ref(operands[-1], gen)
+            continue
         try:
             if op == "q":
                 if len(gstack) < 256:

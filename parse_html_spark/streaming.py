@@ -121,8 +121,22 @@ def streaming_dedup_first_seen(
         ).alias("fp"),
     )
 
+    return _start_first_seen_stream(
+        docs, "fp", output_dir, checkpoint_dir, state_ttl_ms
+    )
+
+
+def _start_first_seen_stream(
+    keyed_df, key_out: str, output_dir: str, checkpoint_dir: str,
+    state_ttl_ms: int | None,
+):
+    """Shared stateful-dedup scaffolding (review r7: one source of
+    truth for the state wiring + sink options): ``keyed_df`` must carry
+    (doc_id, fp); the emitted key column is renamed to ``key_out``."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
     first_seen = _make_first_seen(state_ttl_ms)
-    out = docs.groupBy("fp").applyInPandasWithState(
+    out = keyed_df.groupBy("fp").applyInPandasWithState(
         first_seen,
         outputStructType="fp string, doc_id string",
         stateStructType="seen boolean",
@@ -133,6 +147,8 @@ def streaming_dedup_first_seen(
             else GroupStateTimeout.NoTimeout
         ),
     )
+    if key_out != "fp":
+        out = out.withColumnRenamed("fp", key_out)
     return (
         out.writeStream.format("parquet")
         .option("path", output_dir)
@@ -161,7 +177,6 @@ def streaming_url_dedup_first_seen(
 
     Output rows: (url_key, doc_id)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
     from .functions.urlfn import url_canonicalize
     from .session import ensure_py_files
@@ -177,26 +192,8 @@ def streaming_url_dedup_first_seen(
             F.concat(F.lit("\x00nonurl:"), F.col("doc_id")),
         ).alias("fp"),
     )
-    first_seen = _make_first_seen(state_ttl_ms)
-    out = keyed.groupBy("fp").applyInPandasWithState(
-        first_seen,
-        outputStructType="fp string, doc_id string",
-        stateStructType="seen boolean",
-        outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if state_ttl_ms is not None
-            else GroupStateTimeout.NoTimeout
-        ),
-    )
-    return (
-        out.withColumnRenamed("fp", "url_key")
-        .writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _start_first_seen_stream(
+        keyed, "url_key", output_dir, checkpoint_dir, state_ttl_ms
     )
 
 

@@ -148,6 +148,19 @@ def test_td_vs_tstar_equivalent_layout():
     assert spans_to_text(parse_pdf_spans(b)[0]) == "l1\nl2\nl3"
 
 
+def test_indirect_ref_in_content_folds_to_one_operand():
+    """'N G R' inside a content stream must fold into ONE _Ref operand
+    (as the generic object parser does), never become an unknown 'R'
+    operator that clears the stack (review r7): here the ref sits
+    between Td's real arguments, so a stack clear would skip the Td
+    and merge both shows onto one row."""
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (a) Tj "
+               b"0 1 0 R -20 Td (b) Tj ET")
+    spans, status, _ = parse_pdf_spans(_raw_pdf(content))
+    assert status == "ok"
+    assert spans_to_text(spans) == "a\nb"
+
+
 def test_row_clustering_x_order():
     """Two show ops at the same y merge into one row, left-to-right,
     regardless of emission order."""
