@@ -74,6 +74,29 @@ def main() -> None:
     load_start = os.getloadavg()[0]
     solo = load_start < 2.0
 
+    # machine-state probe: a FIXED pure-Python workload (no Spark, no
+    # parallelism) whose wall moves only with host clock state. Any
+    # two bench runs -- across rounds or vs BASELINE.md -- can be
+    # normalized by the ratio of their probes before comparing query
+    # walls; same-code drift up to 2x has been observed on this host.
+    def hw_probe() -> float:
+        from parse_html_spark.boilerplate import main_content_spans
+        from parse_html_spark.fixtures import gen_doc
+        from parse_html_spark.pipeline import assemble
+        from parse_html_spark.tokenizer import DocIndex
+
+        pairs = [assemble(gen_doc(i)["spans"]) for i in range(300)]
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for h, m in pairs:
+                main_content_spans(DocIndex(h), m)
+            best = min(best, time.time() - t0)
+        return round(best, 4)
+
+    probe = hw_probe()
+    log(f"hw probe (300 docs, single thread, best of 3): {probe}s")
+
     corpus_path = ensure_corpus()
     spark = get_spark(cpus=CPUS, app="parse_html_spark_bench")
     times: dict[str, float] = {}
@@ -139,6 +162,7 @@ def main() -> None:
             "queries": times,
             "dispersion": dispersion(samples),
             "solo": solo,
+            "hw_probe_sec": probe,
             "loadavg_start": round(load_start, 2),
             "sf": sf,
             "cpus": CPUS,
@@ -290,6 +314,7 @@ def main() -> None:
         # start. max/min > ~1.5 on unchanged code = host noise band.
         "dispersion": dispersion(samples),
         "solo": solo,
+        "hw_probe_sec": probe,
         "loadavg_start": round(load_start, 2),
         "sf": sf,
         "cpus": CPUS,
