@@ -1397,6 +1397,148 @@ def parse_pdf_spans(data: bytes, on_error: str = "flag"):
         return [], f"pdf_error:{reason[:160]}", 0
 
 
+def extract_pdf_media(data: bytes, on_error: str = "flag"):
+    """bytes -> (media, status, n_pages): the embedded image payloads
+    behind parse_pdf_spans' media spans. Each item is a dict with
+    name, width, height, codec (the stream's final filter -- 'dct' is
+    literal JFIF/JPEG bytes the package's own decode_jpeg reads,
+    'raw' is post-Flate sample bytes whose shape comes from the
+    width/height/metadata), and payload. One entry per distinct image
+    XObject reference per document (a logo shared by every page is
+    emitted once); media_ref matches the span label
+    ('pdf:<name>:<w>x<h>') so spans join to payloads directly.
+
+    Walks page Resources (the path Do can reach for page-level
+    images); images only reachable through nested Form XObjects are
+    out of scope here -- their spans still appear via the content
+    interpreter."""
+    if on_error not in ("flag", "raise"):
+        raise ValueError(f"on_error must be flag|raise, got {on_error!r}")
+    try:
+        if not isinstance(data, (bytes, bytearray)):
+            raise PdfError("input is not bytes")
+        if b"%PDF-" not in data[:1024]:
+            raise PdfError("missing %PDF header")
+        doc = _Doc(bytes(data))
+        pages = doc.pages()
+        out = []
+        seen: set = set()
+        for page in pages:
+            res = doc.resolve(page.get("Resources")) or {}
+            xobjects = doc.resolve(res.get("XObject")) or {}
+            if not isinstance(xobjects, dict):
+                continue
+            for name, ref in xobjects.items():
+                key = ref if isinstance(ref, _Ref) else id(ref)
+                if key in seen:
+                    continue
+                seen.add(key)
+                xo = doc.resolve(ref)
+                if not isinstance(xo, _Stream):
+                    continue
+                if doc.resolve(xo.dict.get("Subtype")) != "Image":
+                    continue
+                w = doc.resolve(xo.dict.get("Width", 0))
+                h = doc.resolve(xo.dict.get("Height", 0))
+                filters = doc.resolve(xo.dict.get("Filter"))
+                if not isinstance(filters, list):
+                    filters = [filters] if filters is not None else []
+                last = str(filters[-1]) if filters else None
+                codec = {
+                    "DCTDecode": "dct", "DCT": "dct",
+                    "JPXDecode": "jpx", "CCITTFaxDecode": "ccitt",
+                    "JBIG2Decode": "jbig2", None: "raw",
+                }.get(last, "raw")
+                try:
+                    payload = _decode_stream(
+                        xo, doc.resolve, doc.decode_budget
+                    )
+                except PdfError as exc:
+                    doc.warnings.append(f"image {name}: {exc}")
+                    continue
+                out.append({
+                    "name": str(name),
+                    "media_ref": f"pdf:{name}:{w}x{h}",
+                    "width": int(w) if isinstance(w, (int, float)) else 0,
+                    "height": int(h) if isinstance(h, (int, float)) else 0,
+                    "codec": codec,
+                    "payload": payload,
+                })
+        status = "ok"
+        if doc.warnings:
+            status = f"ok_with_warnings:{doc.warnings[0]}"
+        return out, status, len(pages)
+    except Exception as exc:  # noqa: BLE001 -- census contract
+        if on_error == "raise":
+            if isinstance(exc, PdfError):
+                raise
+            raise PdfError(str(exc)) from exc
+        reason = str(exc) or type(exc).__name__
+        return [], f"pdf_error:{reason[:160]}", 0
+
+
+def read_pdf_media(spark, path: str, on_error: str = "flag"):
+    """DataFrame of embedded PDF image payloads over a directory of
+    PDFs: (doc_id, media_ref, name, width, height, codec,
+    payload binary, status). 'dct' payloads feed
+    extract_media_features(fake=False) directly (the package's own
+    JPEG decoder); join media_ref against read_span_docs_pdf's media
+    spans to place each image in its document."""
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    if on_error not in ("flag", "raise"):
+        raise ValueError(f"on_error must be flag|raise, got {on_error!r}")
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf_batch in batches:
+            rows = {
+                "doc_id": [], "media_ref": [], "name": [], "width": [],
+                "height": [], "codec": [], "payload": [], "status": [],
+            }
+            for fpath, content in zip(
+                pdf_batch["path"], pdf_batch["content"]
+            ):
+                media, status, _n = extract_pdf_media(
+                    bytes(content), on_error=on_error
+                )
+                for it in media:
+                    rows["doc_id"].append(fpath)
+                    rows["media_ref"].append(it["media_ref"])
+                    rows["name"].append(it["name"])
+                    rows["width"].append(it["width"])
+                    rows["height"].append(it["height"])
+                    rows["codec"].append(it["codec"])
+                    rows["payload"].append(it["payload"])
+                    rows["status"].append(status)
+                if not media and status != "ok":
+                    rows["doc_id"].append(fpath)
+                    rows["media_ref"].append(None)
+                    rows["name"].append(None)
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["codec"].append(None)
+                    rows["payload"].append(None)
+                    rows["status"].append(status)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(
+        run,
+        schema=(
+            "doc_id string, media_ref string, name string, width int, "
+            "height int, codec string, payload binary, status string"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # writer (deterministic fixture generator)
 # ---------------------------------------------------------------------------

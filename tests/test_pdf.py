@@ -532,6 +532,75 @@ def test_read_span_docs_pdf(spark, tmp_path):
         read_span_docs_pdf(spark, str(tmp_path), on_error="raise").collect()
 
 
+def test_extract_pdf_media_roundtrip():
+    """Embedded DCT image payloads come back byte-identical to the
+    JPEG that went in, once per distinct XObject, with span-joinable
+    media_ref labels."""
+    from parse_html_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    import numpy as np
+
+    from parse_html_spark.sources.pdf import extract_pdf_media
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[::2] = 200
+    jpeg = encode_jpeg(img)
+    pages = layout_doc(TEXT, two_pages=True, image=(jpeg, 8, 8, "Im1"))
+    for kw in ({}, {"objstm": True, "compress": True}):
+        data = encode_pdf(pages, **kw)
+        media, status, n_pages = extract_pdf_media(data)
+        assert status == "ok" and n_pages == 2
+        assert len(media) == 1
+        it = media[0]
+        assert it["media_ref"] == "pdf:Im1:8x8"
+        assert it["codec"] == "dct"
+        assert bytes(it["payload"]) == jpeg
+        # the package's own decoder reads the payload
+        decoded = decode_jpeg(bytes(it["payload"]))
+        assert decoded.shape == (8, 8, 3)
+    # corrupt input censuses, never raises in flag mode
+    media, status, _ = extract_pdf_media(b"%PDF-1.4\nbroken")
+    assert media == [] and status.startswith("pdf_error:")
+
+
+def test_read_pdf_media_feeds_media_features(spark, tmp_path):
+    """Spark loop: PDFs -> read_pdf_media -> extract_media_features
+    (fake=False, the real JPEG decode path) -- the multimodal columns
+    story end-to-end from a document container."""
+    from parse_html_spark.functions.jpeg import encode_jpeg
+    from parse_html_spark.functions.media import extract_media_features
+    import numpy as np
+
+    from parse_html_spark.sources.pdf import read_pdf_media
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[1::2] = 180
+    jpeg = encode_jpeg(img)
+    for i in range(3):
+        pages = layout_doc(
+            f"media doc {i} " * 30, two_pages=True,
+            image=(jpeg, 8, 8, "Im1"),
+        )
+        (tmp_path / f"{i}.pdf").write_bytes(encode_pdf(pages))
+    (tmp_path / "broken.pdf").write_bytes(b"%PDF-1.4\nbroken")
+
+    media = read_pdf_media(spark, str(tmp_path))
+    rows = media.collect()
+    ok = [r for r in rows if r["status"] == "ok"]
+    bad = [r for r in rows if r["status"].startswith("pdf_error:")]
+    assert len(ok) == 3 and len(bad) == 1
+    assert all(r["codec"] == "dct" and bytes(r["payload"]) == jpeg
+               for r in ok)
+    feats = extract_media_features(
+        media.filter("codec = 'dct'").select("media_ref", "payload"),
+        fake=False,
+    ).collect()
+    assert len(feats) == 3
+    for f in feats:
+        assert f["media_type"] == "image"
+        assert f["n_bytes"] == len(jpeg)
+        assert f["feature"] is not None and len(f["feature"]) > 0
+
+
 def test_pdf_source_feeds_training_ops(spark, tmp_path):
     """The PDF source emits the same span-doc shape as WARC/WET/JSONL,
     so the training-data layer composes on it unchanged: flatten the
