@@ -1369,6 +1369,59 @@ def _q_chunk_dup(spark, sf_dir):
     return chunk_dup_stats(_documents(spark, sf_dir), k=10)
 
 
+def _pdf_fixture_jpeg():
+    """The deterministic 8x8 JPEG every PDF fixture embeds; the oracle
+    interpolates its exact length + md5 (the PII_PATTERNS precedent:
+    package constants computed at oracle_sql() time, not hand-copied)."""
+    import numpy as np
+
+    from parse_html_spark.functions.jpeg import encode_jpeg
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[::2] = 200
+    return encode_jpeg(img)
+
+
+def _q_pdf_media(spark, sf_dir):
+    """Embedded-image payload recovery under the hash gate: docs with
+    doc_id % 7 == 0 become two-page PDFs embedding the deterministic
+    fixture JPEG; read_pdf_media must return exactly one 'dct' row per
+    such doc whose payload is BYTE-IDENTICAL to the embedded file
+    (md5 + length checked against oracle-side constants)."""
+    import os
+
+    from parse_html_spark.sources.pdf import read_pdf_media
+
+    jpeg = _pdf_fixture_jpeg()
+    d = _scratch_dir("spark_graft_pdfmedia_")
+
+    def writer(_g, pdf):
+        from parse_html_spark.sources.pdf import encode_pdf, layout_doc
+
+        for i, t in zip(pdf["doc_id"], pdf["text"]):
+            i = int(i)
+            pages = layout_doc(t, two_pages=True, image=(jpeg, 8, 8, "Im1"))
+            with open(os.path.join(d, f"{i}.pdf"), "wb") as f:
+                f.write(encode_pdf(pages))
+
+    _build_fixtures_spark_side(
+        spark,
+        _documents(spark, sf_dir).filter(F.pmod("doc_id", F.lit(7)) == 0)
+        .select("doc_id", "text")
+        .withColumn("g", F.pmod(F.col("doc_id"), F.lit(8))),
+        writer,
+    )
+    df = read_pdf_media(spark, d)
+    return df.select(
+        F.regexp_extract(F.col("doc_id"), r"(\d+)\.pdf$", 1)
+        .cast("bigint").alias("doc_id"),
+        "media_ref",
+        "codec",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 def _q_stream_url_dedup(spark, sf_dir):
     """Streaming stateful first-seen dedup keyed by CANONICAL URL
     (availableNow, applyInPandasWithState) oracle-checked against the
@@ -1895,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "chunk_dup": _q_chunk_dup,
         "stream_url_dedup": _q_stream_url_dedup,
+        "pdf_media": _q_pdf_media,
         "warc_census": _q_warc_census,
         "charset_census": _q_charset_census,
         "media_census": _q_media_census,
@@ -1917,6 +1971,10 @@ def oracle_sql() -> dict[str, str]:
 
     bpe_re = BPE_TOKEN_RE.replace("'", "''")
     pii = {kind: (pat, repl) for kind, pat, repl in PII_PATTERNS}
+    import hashlib
+
+    _jpeg = _pdf_fixture_jpeg()
+    jpeg_len, jpeg_md5 = len(_jpeg), hashlib.md5(_jpeg).hexdigest()
     # the _gopher_page doc_id%4 multiline derivation (shared by the
     # gopher_quality and line_dedup oracles)
     gq_page = (
@@ -2422,6 +2480,15 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_source": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 3 AS n_spans, "
             "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+        ),
+        "pdf_media": (
+            # one dct row per image-bearing doc; payload byte-identity
+            # via interpolated length + md5 of the deterministic
+            # fixture JPEG (computed from the package at oracle time)
+            f"SELECT doc_id, 'pdf:Im1:8x8' AS media_ref, "
+            f"'dct' AS codec, CAST({jpeg_len} AS BIGINT) AS n_bytes, "
+            f"'{jpeg_md5}' AS payload_md5 "
+            f"FROM documents WHERE doc_id % 7 = 0"
         ),
         "stream_url_dedup": (
             "WITH u AS (SELECT CAST(doc_id AS VARCHAR) AS sid, "
