@@ -1317,6 +1317,35 @@ def _page_content(doc: _Doc, page) -> bytes:
     return b"\n".join(parts)
 
 
+def _run_census(data, on_error: str, body):
+    """Shared flag/raise census envelope for whole-document entry
+    points (ONE copy of the contract -- review r7): validates input,
+    builds the _Doc, runs ``body(doc) -> (result, n_pages)``, and maps
+    warnings/errors to the ok / ok_with_warnings:* / pdf_error:*
+    status classes. flag mode returns ([], 'pdf_error:<reason>', 0) on
+    any structural failure; raise mode raises PdfError."""
+    if on_error not in ("flag", "raise"):
+        raise ValueError(f"on_error must be flag|raise, got {on_error!r}")
+    try:
+        if not isinstance(data, (bytes, bytearray)):
+            raise PdfError("input is not bytes")
+        if b"%PDF-" not in data[:1024]:
+            raise PdfError("missing %PDF header")
+        doc = _Doc(bytes(data))
+        result, n_pages = body(doc)
+        status = "ok"
+        if doc.warnings:
+            status = f"ok_with_warnings:{doc.warnings[0]}"
+        return result, status, n_pages
+    except Exception as exc:  # noqa: BLE001 -- census contract
+        if on_error == "raise":
+            if isinstance(exc, PdfError):
+                raise
+            raise PdfError(str(exc)) from exc
+        reason = str(exc) or type(exc).__name__
+        return [], f"pdf_error:{reason[:160]}", 0
+
+
 def parse_pdf_spans(data: bytes, on_error: str = "flag"):
     """bytes -> (spans, status, n_pages).
 
@@ -1331,14 +1360,8 @@ def parse_pdf_spans(data: bytes, on_error: str = "flag"):
     failure (the WARC reader's census contract); raise mode raises
     PdfError. Per-page content problems degrade to warnings, not
     failures."""
-    if on_error not in ("flag", "raise"):
-        raise ValueError(f"on_error must be flag|raise, got {on_error!r}")
-    try:
-        if not isinstance(data, (bytes, bytearray)):
-            raise PdfError("input is not bytes")
-        if b"%PDF-" not in data[:1024]:
-            raise PdfError("missing %PDF header")
-        doc = _Doc(bytes(data))
+
+    def body(doc):
         pages = doc.pages()
         spans = []
         buf_lines: list[str] = []
@@ -1384,17 +1407,9 @@ def parse_pdf_spans(data: bytes, on_error: str = "flag"):
                     spans.append(("media", None, payload, offset))
             end_row()
         flush()
-        status = "ok"
-        if doc.warnings:
-            status = f"ok_with_warnings:{doc.warnings[0]}"
-        return spans, status, len(pages)
-    except Exception as exc:  # noqa: BLE001 -- census contract
-        if on_error == "raise":
-            if isinstance(exc, PdfError):
-                raise
-            raise PdfError(str(exc)) from exc
-        reason = str(exc) or type(exc).__name__
-        return [], f"pdf_error:{reason[:160]}", 0
+        return spans, len(pages)
+
+    return _run_census(data, on_error, body)
 
 
 def extract_pdf_media(data: bytes, on_error: str = "flag"):
@@ -1404,22 +1419,21 @@ def extract_pdf_media(data: bytes, on_error: str = "flag"):
     literal JFIF/JPEG bytes the package's own decode_jpeg reads,
     'raw' is post-Flate sample bytes whose shape comes from the
     width/height/metadata), and payload. One entry per distinct image
-    XObject reference per document (a logo shared by every page is
-    emitted once); media_ref matches the span label
-    ('pdf:<name>:<w>x<h>') so spans join to payloads directly.
+    XObject (ref, resource-name) PAIR per document -- an object reused
+    under one name on every page emits once, while each ALIAS of one
+    object gets its own row so every span label ('pdf:<name>:<w>x<h>',
+    built exactly like the content interpreter's, '?' for missing
+    dims) has a joinable payload row. N distinct objects sharing one
+    name and dimensions remain ambiguous under that join -- dedupe on
+    payload md5 if it matters.
 
-    Walks page Resources (the path Do can reach for page-level
-    images); images only reachable through nested Form XObjects are
-    out of scope here -- their spans still appear via the content
-    interpreter."""
-    if on_error not in ("flag", "raise"):
-        raise ValueError(f"on_error must be flag|raise, got {on_error!r}")
-    try:
-        if not isinstance(data, (bytes, bytearray)):
-            raise PdfError("input is not bytes")
-        if b"%PDF-" not in data[:1024]:
-            raise PdfError("missing %PDF header")
-        doc = _Doc(bytes(data))
+    Walks page Resources (every image DECLARED there, whether or not a
+    Do op actually draws it -- leftover assets surface as payload rows
+    with no span counterpart); images only reachable through nested
+    Form XObjects are out of scope here -- their spans still appear
+    via the content interpreter."""
+
+    def body(doc):
         pages = doc.pages()
         out = []
         seen: set = set()
@@ -1429,7 +1443,10 @@ def extract_pdf_media(data: bytes, on_error: str = "flag"):
             if not isinstance(xobjects, dict):
                 continue
             for name, ref in xobjects.items():
-                key = ref if isinstance(ref, _Ref) else id(ref)
+                key = (
+                    ref if isinstance(ref, _Ref) else id(ref),
+                    str(name),
+                )
                 if key in seen:
                     continue
                 seen.add(key)
@@ -1438,17 +1455,21 @@ def extract_pdf_media(data: bytes, on_error: str = "flag"):
                     continue
                 if doc.resolve(xo.dict.get("Subtype")) != "Image":
                     continue
-                w = doc.resolve(xo.dict.get("Width", 0))
-                h = doc.resolve(xo.dict.get("Height", 0))
+                # same defaults/construction as _interpret_content's
+                # span label, or the documented join breaks on
+                # dimension-less images (review r7)
+                w = doc.resolve(xo.dict.get("Width", "?"))
+                h = doc.resolve(xo.dict.get("Height", "?"))
                 filters = doc.resolve(xo.dict.get("Filter"))
                 if not isinstance(filters, list):
                     filters = [filters] if filters is not None else []
-                last = str(filters[-1]) if filters else None
+                last = doc.resolve(filters[-1]) if filters else None
                 codec = {
                     "DCTDecode": "dct", "DCT": "dct",
-                    "JPXDecode": "jpx", "CCITTFaxDecode": "ccitt",
+                    "JPXDecode": "jpx",
+                    "CCITTFaxDecode": "ccitt", "CCF": "ccitt",
                     "JBIG2Decode": "jbig2", None: "raw",
-                }.get(last, "raw")
+                }.get(str(last) if last is not None else None, "raw")
                 try:
                     payload = _decode_stream(
                         xo, doc.resolve, doc.decode_budget
@@ -1464,17 +1485,9 @@ def extract_pdf_media(data: bytes, on_error: str = "flag"):
                     "codec": codec,
                     "payload": payload,
                 })
-        status = "ok"
-        if doc.warnings:
-            status = f"ok_with_warnings:{doc.warnings[0]}"
-        return out, status, len(pages)
-    except Exception as exc:  # noqa: BLE001 -- census contract
-        if on_error == "raise":
-            if isinstance(exc, PdfError):
-                raise
-            raise PdfError(str(exc)) from exc
-        reason = str(exc) or type(exc).__name__
-        return [], f"pdf_error:{reason[:160]}", 0
+        return out, len(pages)
+
+    return _run_census(data, on_error, body)
 
 
 def read_pdf_media(spark, path: str, on_error: str = "flag"):
@@ -1483,7 +1496,15 @@ def read_pdf_media(spark, path: str, on_error: str = "flag"):
     payload binary, status). 'dct' payloads feed
     extract_media_features(fake=False) directly (the package's own
     JPEG decoder); join media_ref against read_span_docs_pdf's media
-    spans to place each image in its document."""
+    spans to place each image in its document.
+
+    Status classes: payload rows carry 'ok' or 'ok_with_warnings:*';
+    documents that yielded NO payload rows but had something to report
+    (structural pdf_error:*, or warnings-only like a budget-tripped
+    image) emit ONE placeholder row with NULL media_ref/payload.
+    Filter `codec = 'dct'` (as the tests do) before feeding the
+    feature extractor -- that excludes every placeholder and every
+    non-JPEG payload class in one predicate."""
     from ..session import ensure_py_files
 
     ensure_py_files(spark)
