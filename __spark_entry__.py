@@ -1359,6 +1359,20 @@ def _q_url_dedup(spark, sf_dir):
     )
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination census under the hash gate: docs with
+    doc_id % 31 == 0 act as the eval set (they contaminate THEMSELVES
+    plus the corpus's built-in prefix-extension/exact-copy near-dups
+    that share stride-1 8-token shingles); the same shingling recipe
+    in DuckDB predicts every per-doc hit count."""
+    from parse_html_spark.functions.dedup import decontaminate
+
+    docs = _documents(spark, sf_dir)
+    return decontaminate(
+        docs, docs.filter(F.pmod("doc_id", F.lit(31)) == 0), k=8
+    )
+
+
 def _q_chunk_dup(spark, sf_dir):
     """Exact-substring (k-token chunk) duplication census under the
     hash gate: the corpus's built-in prefix-extension and exact-copy
@@ -1947,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": _q_url_canon,
         "url_dedup": _q_url_dedup,
         "chunk_dup": _q_chunk_dup,
+        "decontaminate": _q_decontaminate,
         "stream_url_dedup": _q_stream_url_dedup,
         "pdf_media": _q_pdf_media,
         "warc_census": _q_warc_census,
@@ -2505,6 +2520,24 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 4 THEN 'http://plain' || CAST(doc_id % 7 AS VARCHAR) "
             "|| '.org/x' END AS url_key FROM documents) "
             "SELECT url_key, min(sid) AS doc_id FROM u GROUP BY url_key"
+        ),
+        "decontaminate": (
+            # stride-1 8-token shingles, shingles_col's short-doc rule
+            # (len < k collapses to one whole-doc shingle); benchmark =
+            # doc_id % 31 == 0
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            "x -> x <> '') AS t FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "CASE WHEN len(t) < 8 THEN array_to_string(t, ' ') "
+            "ELSE array_to_string(t[j+1:j+8], ' ') END AS s "
+            "FROM toks, UNNEST(range(GREATEST(len(t) - 7, 1))) AS u(j)), "
+            "hits AS (SELECT a.doc_id, count(*) AS n FROM sh a "
+            "WHERE a.s IN (SELECT s FROM sh WHERE doc_id % 31 = 0) "
+            "GROUP BY a.doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS "
+            "n_hits, coalesce(h.n, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h USING(doc_id)"
         ),
         "chunk_dup": (
             # identical chunking recipe: lower/trim, \s+ split, empties

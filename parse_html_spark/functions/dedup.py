@@ -617,6 +617,52 @@ def chunk_dup_stats(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination census (the GPT-3/Gopher training-set
+    hygiene step): per training document, how many of its DISTINCT
+    k-token shingles appear in ANY benchmark document.
+
+    Shape at 100 TB: benchmark sets are eval suites (KBs-to-MBs), so
+    their distinct-shingle table BROADCASTS and the training side is
+    one explode + broadcast semi-join + one groupBy -- the corpus
+    never shuffles on text. Shingling is shingles_col's (same stride-1
+    windows MinHash uses, short docs collapse to one whole-doc
+    shingle), so a doc that would MinHash-match a benchmark doc also
+    overlaps here.
+
+    Output: (id, n_hits, contaminated) -- one row per input doc,
+    contaminated = any shared shingle."""
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingles_col(F.col(text_col), k)).alias("sh")
+        ).distinct()
+    )
+    tr_sh = df.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), k)).alias("sh"),
+    )
+    hits = (
+        tr_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_n", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def jaccard_verify_pairs(
     df: DataFrame,
     pairs: DataFrame,

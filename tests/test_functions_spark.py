@@ -412,6 +412,38 @@ def test_chunk_dup_stats(spark):
     assert "partial_count" in plan  # chunk counts map-side combined
 
 
+def test_decontaminate(spark):
+    """Benchmark decontamination: stride-1 shingle overlap marks the
+    contaminated docs (incl. a short doc via the whole-doc shingle and
+    a prefix-extension), clean docs stay clean, every input doc is in
+    the output, and the benchmark side broadcasts."""
+    from parse_html_spark.functions.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta one two three eight nine ten x"),
+            (2, "completely different words with no overlap at all ok"),
+            (3, "short doc"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "zz alpha beta gamma delta one two three eight nine yy"),
+         (101, "short doc")],
+        "doc_id long, text string",
+    )
+    out = decontaminate(train, bench, k=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[1]["contaminated"] and rows[1]["n_hits"] == 2
+    assert not rows[2]["contaminated"] and rows[2]["n_hits"] == 0
+    assert rows[3]["contaminated"] and rows[3]["n_hits"] == 1
+    assert not rows[4]["contaminated"]  # NULL text -> clean, retained
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval set never shuffles corpus
+
+
 def test_chunk_col_reconstructs_prefix(spark):
     """Property pin over seeded-random docs: joining a doc's chunks
     with spaces reproduces exactly its first n_chunks*k normalized
