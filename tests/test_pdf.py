@@ -474,6 +474,35 @@ def test_fuzz_mutations_never_raise():
             assert isinstance(status, str)
 
 
+def test_fuzz_media_extraction_never_raises():
+    """extract_pdf_media shares parse_pdf_spans' census contract:
+    mutations of image-bearing PDFs never raise in flag mode."""
+    from parse_html_spark.functions.jpeg import encode_jpeg
+    import numpy as np
+
+    from parse_html_spark.sources.pdf import extract_pdf_media
+
+    rng = random.Random(11)
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[::2] = 200
+    jpeg = encode_jpeg(img)
+    pages = layout_doc(TEXT, two_pages=True, image=(jpeg, 8, 8, "Im1"))
+    for base in (encode_pdf(pages), encode_pdf(pages, objstm=True)):
+        for _ in range(30):
+            data = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+            media, status, n_pages = extract_pdf_media(bytes(data))
+            assert isinstance(status, str) and isinstance(n_pages, int)
+            for it in media:
+                assert isinstance(it["payload"], (bytes, bytearray))
+        for _ in range(8):
+            media, status, _ = extract_pdf_media(
+                base[: rng.randrange(len(base))]
+            )
+            assert isinstance(status, str)
+
+
 def test_fuzz_random_bytes_never_raise():
     rng = random.Random(7)
     for _ in range(60):
