@@ -192,8 +192,18 @@ def prepare_training_corpus(
     output_path: str,
     partitions: int = 64,
     min_quality: float = 0.25,
+    decontaminate_against=None,
+    annotate: bool = False,
 ) -> dict:
     """Full composed run; returns stage counts for the metrics table.
+
+    ``decontaminate_against``: optional DataFrame of benchmark/eval
+    texts (doc_id, text) -- training docs sharing any stride-1 8-token
+    shingle with it are DROPPED before dedup (the GPT-3/Gopher
+    hygiene step; the eval set broadcasts, see
+    functions.dedup.decontaminate). ``annotate=True`` appends the
+    one-projection quality layer (Gopher keep/reason, PII-redacted
+    text, BPE token count, train/val/test split) to the written rows.
 
     Metric counts cost NO extra corpus pass: docs_in comes from the
     input's parquet footers (metadata only); docs_out rides the write
@@ -212,8 +222,21 @@ def prepare_training_corpus(
     kept = quality_filter(docs, min_quality)
     from .functions.dedup import dedup_exact
 
+    if decontaminate_against is not None:
+        from .functions.dedup import decontaminate
+
+        marks = decontaminate(kept, decontaminate_against)
+        kept = kept.join(
+            marks.filter("contaminated").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
     kept = dedup_exact(kept)
     kept = drop_near_duplicates(kept)
+    if annotate:
+        from .functions.textfn import annotate_quality
+
+        kept = annotate_quality(kept)
     obs_out = Observation("training_docs_out")
     kept = kept.observe(obs_out, F.count(F.lit(1)).alias("n"))
     kept.write.mode("overwrite").parquet(output_path)

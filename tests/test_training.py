@@ -23,6 +23,33 @@ def test_prepare_training_corpus(spark, tmp_path):
     assert result.filter(F.length("text") < 10).count() == 0
 
 
+def test_prepare_training_corpus_decontaminate_annotate(spark, tmp_path):
+    """Optional stages: benchmark-overlapping docs are dropped before
+    dedup, and annotate=True appends the quality-layer columns."""
+    src = str(tmp_path / "in.parquet")
+    write_corpus_parquet(src, 30)
+    out = str(tmp_path / "out")
+    # baseline run to learn the surviving texts
+    base_stats = prepare_training_corpus(spark, src, out, partitions=4)
+    survivors = spark.read.parquet(out).select("doc_id", "text").collect()
+    assert base_stats["docs_out"] == len(survivors)
+    # benchmark = one surviving doc's text: that doc (and any shingle
+    # near-dup of it) must vanish from a decontaminated run
+    bench = spark.createDataFrame(
+        [(9999, survivors[0]["text"])], "doc_id long, text string"
+    )
+    out2 = str(tmp_path / "out2")
+    stats2 = prepare_training_corpus(
+        spark, src, out2, partitions=4,
+        decontaminate_against=bench, annotate=True,
+    )
+    assert stats2["docs_out"] < base_stats["docs_out"]
+    res = spark.read.parquet(out2)
+    assert {"keep", "reject_reason", "text_redacted", "bpe_tokens",
+            "split"} <= set(res.columns)
+    assert res.filter(F.col("doc_id") == survivors[0]["doc_id"]).count() == 0
+
+
 def test_reassemble_orders_spans(spark):
     rows = [
         ("d1", 1, "text", "world", None),
