@@ -17,6 +17,26 @@ def formatted(df) -> str:
     return buf.getvalue().strip()
 
 
+def _pdf_read_plan(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parse_html_spark.sources.pdf import (
+        encode_pdf,
+        layout_doc,
+        read_span_docs_pdf,
+    )
+
+    d = tempfile.mkdtemp(prefix="phs_plan_pdf_")
+    for i in range(4):
+        with open(os.path.join(d, f"{i}.pdf"), "wb") as f:
+            f.write(encode_pdf(layout_doc(f"plan doc {i} body " * 10)))
+    return read_span_docs_pdf(spark, d).agg(
+        F.sum("n_chars").alias("n_chars")
+    )
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -85,6 +105,29 @@ def main() -> None:
             "CartesianProduct / BroadcastNestedLoopJoin anywhere; exact\n"
             "Jaccard only after candidate pairs exist.",
             minhash_near_duplicates(docs.filter(F.col("doc_id") < 40)),
+        ),
+        (
+            "PDF source read (binaryFile -> one MapInPandas, round 7)",
+            "Wanted: the whole parse is ONE Python stage fed directly by\n"
+            "the file scan; an n_chars rollup aggregates map-side partial\n"
+            "with a single-row exchange -- record rows never shuffle. PDFs\n"
+            "are whole-file units (trailing xref); parallelism is file\n"
+            "count, with spark.sql.files.openCostInBytes pricing KB-scale\n"
+            "files so hundreds share a task (bench.py sets 16 KiB -- 9x on\n"
+            "the measured wall vs the 4 MiB default's task-per-file).\n"
+            "Pinned by test_plan_shapes.py::test_pdf_read_single_python_"
+            "stage.",
+            _pdf_read_plan(spark),
+        ),
+        (
+            "Benchmark decontamination (broadcast eval shingles)",
+            "Wanted: the eval set's distinct-shingle side broadcasts\n"
+            "(BroadcastHashJoin); the training corpus is one explode +\n"
+            "semi-join + partial-aggregated groupBy and never shuffles on\n"
+            "text.",
+            __import__(
+                "parse_html_spark.functions.dedup", fromlist=["decontaminate"]
+            ).decontaminate(docs, docs.filter(F.col("doc_id") % 31 == 0)),
         ),
     ]
     out = [
