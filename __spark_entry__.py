@@ -1373,6 +1373,26 @@ def _q_decontaminate(spark, sf_dir):
     )
 
 
+def _q_url_domain_block(spark, sf_dir):
+    """Domain-suffix blocklist under the hash gate: blocking the
+    PARENT domain 'spam.org' must drop every 'blocked<k>.spam.org'
+    subdomain row (the exact-host rows prove the suffix chain, not
+    string containment: 'plain<k>.org' survives an 'org'-free
+    blocklist and non-URL rows pass through)."""
+    from parse_html_spark.functions.urlfn import (
+        filter_blocked_domains,
+        url_host,
+    )
+
+    df = _documents(spark, sf_dir).select(
+        "doc_id", _url_col().alias("url")
+    )
+    bl = spark.createDataFrame([("spam.org",)], "host string")
+    return filter_blocked_domains(df, bl).select(
+        "doc_id", url_host(F.col("url")).alias("host")
+    )
+
+
 def _q_chunk_dup(spark, sf_dir):
     """Exact-substring (k-token chunk) duplication census under the
     hash gate: the corpus's built-in prefix-extension and exact-copy
@@ -1962,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "chunk_dup": _q_chunk_dup,
         "decontaminate": _q_decontaminate,
+        "url_domain_block": _q_url_domain_block,
         "stream_url_dedup": _q_stream_url_dedup,
         "pdf_media": _q_pdf_media,
         "warc_census": _q_warc_census,
@@ -2520,6 +2541,16 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 4 THEN 'http://plain' || CAST(doc_id % 7 AS VARCHAR) "
             "|| '.org/x' END AS url_key FROM documents) "
             "SELECT url_key, min(sid) AS doc_id FROM u GROUP BY url_key"
+        ),
+        "url_domain_block": (
+            "SELECT doc_id, CASE doc_id % 5 "
+            "WHEN 0 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.example.com' "
+            "WHEN 1 THEN 'site' || CAST((doc_id - 1) % 7 AS VARCHAR) "
+            "|| '.example.com' "
+            "WHEN 4 THEN 'plain' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.org' END AS host "
+            "FROM documents WHERE doc_id % 5 <> 2"
         ),
         "decontaminate": (
             # stride-1 8-token shingles, shingles_col's short-doc rule

@@ -108,6 +108,48 @@ def filter_blocked_hosts(
     )
 
 
+def filter_blocked_domains(
+    df: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop rows whose url host OR ANY PARENT DOMAIN appears in
+    ``blocklist`` (one 'host' column) -- real blocklists (UT1 and
+    friends) are domain-level, so 'bad.org' must block
+    'sub.a.bad.org' too.
+
+    The suffix test stays an EQUI join (never a
+    BroadcastNestedLoopJoin): each url explodes into its <= ~10 label
+    suffixes ('a.b.c' -> a.b.c, b.c, c) via one transform over the
+    split labels, and those join the broadcast blocklist by equality;
+    a left-anti on the surviving ids removes matched rows."""
+    hosts = F.broadcast(blocklist.select(F.lower("host").alias("_bh")))
+    keyed = df.withColumn(
+        "_labels", F.split(url_host(F.col(url_col)), r"\.")
+    ).withColumn("_rid", F.monotonically_increasing_id())
+    # suffix built OUTSIDE any lambda (higher-order fns are interpreted
+    # and re-evaluate captured row exprs per element -- build notes):
+    # posexplode the labels, slice the carried array per exploded row
+    sfx = keyed.select(
+        "_rid",
+        F.posexplode("_labels").alias("_i", "_l"),
+        F.col("_labels"),
+    ).select(
+        "_rid",
+        F.array_join(
+            F.slice(F.col("_labels"), F.col("_i") + 1, F.size("_labels")),
+            ".",
+        ).alias("_h"),
+    )
+    blocked = (
+        sfx.join(hosts, F.col("_h") == F.col("_bh"))
+        .select("_rid")
+        .distinct()
+    )
+    return (
+        keyed.join(blocked, "_rid", "left_anti")
+        .drop("_labels", "_rid")
+    )
+
+
 def url_dedup_first_seen(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -125,6 +125,32 @@ def test_blocklist_broadcast_anti_join(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_blocklist_domain_suffix(spark):
+    """filter_blocked_domains blocks subdomains of blocklist entries
+    (equi-join over label suffixes, never a nested-loop join); exact
+    hosts elsewhere, partial-label 'notbad.org', and non-URLs survive."""
+    from parse_html_spark.functions.urlfn import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://ok.org/a"),
+            (2, "http://bad.org/x"),
+            (3, "http://sub.a.BAD.org:8080/y"),
+            (4, "http://notbad.org/z"),   # suffix of LABELS, not chars
+            (5, "junk"),
+            (6, "http://bad.org.evil.com/p"),  # 'bad.org' not a suffix
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("bad.org",)], "host string")
+    out = filter_blocked_domains(df, bl)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 4, 5, 6]
+    assert set(out.columns) == {"doc_id", "url"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_url_dedup_first_seen(spark):
     df = spark.createDataFrame(
         [
