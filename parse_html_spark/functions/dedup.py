@@ -637,21 +637,11 @@ def decontaminate(
     overlaps here.
 
     Output: (id, n_hits, contaminated) -- one row per input doc,
-    contaminated = any shared shingle."""
-    bench_sh = (
-        benchmark.select(
-            F.explode(shingles_col(F.col(text_col), k)).alias("sh")
-        ).distinct()
-    )
-    tr_sh = df.select(
-        F.col(id_col),
-        F.explode(shingles_col(F.col(text_col), k)).alias("sh"),
-    )
-    hits = (
-        tr_sh.join(F.broadcast(bench_sh), "sh")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
+    contaminated = any shared shingle. To DROP contaminated rows, use
+    filter_contaminated -- it anti-joins the internal hit aggregate
+    directly instead of round-tripping this census (one corpus scan
+    fewer)."""
+    hits = _contamination_hits(df, benchmark, k, text_col, id_col)
     return (
         df.select(id_col)
         .join(hits, id_col, "left")
@@ -661,6 +651,39 @@ def decontaminate(
             (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def _contamination_hits(df, benchmark, k, text_col, id_col):
+    """(id, _n) for docs sharing >= 1 shingle with the benchmark."""
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingles_col(F.col(text_col), k)).alias("sh")
+        ).distinct()
+    )
+    tr_sh = df.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), k)).alias("sh"),
+    )
+    return (
+        tr_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+
+def filter_contaminated(
+    df: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """df minus every benchmark-overlapping document: one anti join
+    against the hit aggregate (whose cardinality is the contaminated
+    doc count, not the corpus), skipping decontaminate's corpus-wide
+    zero-fill census join entirely (review r7)."""
+    hits = _contamination_hits(df, benchmark, k, text_col, id_col)
+    return df.join(hits.select(id_col), id_col, "left_anti")
 
 
 def jaccard_verify_pairs(

@@ -94,13 +94,21 @@ def url_canonicalize(col) -> Column:
     return F.when(scheme == "", F.lit(None).cast("string")).otherwise(out)
 
 
+def _norm_host_col(col_name: str = "host"):
+    """Blocklist-side host normalization: the SAME lowercase +
+    trailing-FQDN-dot strip url_host applies to corpus hosts -- a real
+    DNS-dump blocklist row 'bad.org.' must match (review r7), plus a
+    trim for hand-edited lists."""
+    return F.regexp_replace(F.trim(F.lower(col_name)), r"\.+$", "")
+
+
 def filter_blocked_hosts(
     df: DataFrame, blocklist: DataFrame, url_col: str = "url"
 ) -> DataFrame:
     """Drop rows whose url host appears in ``blocklist`` (a DataFrame
     with one 'host' column). Broadcast LEFT ANTI join: the blocklist is
     KBs-to-MBs, the corpus is TBs -- never shuffle the big side."""
-    hosts = F.broadcast(blocklist.select(F.lower("host").alias("host")))
+    hosts = F.broadcast(blocklist.select(_norm_host_col().alias("host")))
     return (
         df.withColumn("_h", url_host(F.col(url_col)))
         .join(hosts, F.col("_h") == hosts["host"], "left_anti")
@@ -117,23 +125,31 @@ def filter_blocked_domains(
     'sub.a.bad.org' too.
 
     The suffix test stays an EQUI join (never a
-    BroadcastNestedLoopJoin): each url explodes into its <= ~10 label
-    suffixes ('a.b.c' -> a.b.c, b.c, c) via one transform over the
-    split labels, and those join the broadcast blocklist by equality;
-    a left-anti on the surviving ids removes matched rows."""
-    hosts = F.broadcast(blocklist.select(F.lower("host").alias("_bh")))
-    keyed = df.withColumn(
-        "_labels", F.split(url_host(F.col(url_col)), r"\.")
-    ).withColumn("_rid", F.monotonically_increasing_id())
+    BroadcastNestedLoopJoin), and every join key is row-derived (no
+    synthetic ids -- monotonically_increasing_id is not stable across
+    plan recomputation): the corpus's DISTINCT hosts explode into
+    their <= ~10 label suffixes ('a.b.c' -> a.b.c, b.c, c), those
+    equi-join the broadcast blocklist to yield the blocked FULL-host
+    set (bounded by host cardinality, so AQE broadcasts it), and one
+    host-keyed anti join drops the rows -- the corpus side itself
+    never shuffles."""
+    hosts = F.broadcast(blocklist.select(_norm_host_col().alias("_bh")))
+    host = url_host(F.col(url_col))
+    dh = (
+        df.select(host.alias("_h0"))
+        .where(F.col("_h0").isNotNull())
+        .distinct()
+        .withColumn("_labels", F.split("_h0", r"\."))
+    )
     # suffix built OUTSIDE any lambda (higher-order fns are interpreted
     # and re-evaluate captured row exprs per element -- build notes):
     # posexplode the labels, slice the carried array per exploded row
-    sfx = keyed.select(
-        "_rid",
+    sfx = dh.select(
+        "_h0",
         F.posexplode("_labels").alias("_i", "_l"),
         F.col("_labels"),
     ).select(
-        "_rid",
+        "_h0",
         F.array_join(
             F.slice(F.col("_labels"), F.col("_i") + 1, F.size("_labels")),
             ".",
@@ -141,13 +157,10 @@ def filter_blocked_domains(
     )
     blocked = (
         sfx.join(hosts, F.col("_h") == F.col("_bh"))
-        .select("_rid")
+        .select("_h0")
         .distinct()
     )
-    return (
-        keyed.join(blocked, "_rid", "left_anti")
-        .drop("_labels", "_rid")
-    )
+    return df.join(blocked, host == F.col("_h0"), "left_anti")
 
 
 def url_dedup_first_seen(

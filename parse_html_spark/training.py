@@ -223,14 +223,9 @@ def prepare_training_corpus(
     from .functions.dedup import dedup_exact
 
     if decontaminate_against is not None:
-        from .functions.dedup import decontaminate
+        from .functions.dedup import filter_contaminated
 
-        marks = decontaminate(kept, decontaminate_against)
-        kept = kept.join(
-            marks.filter("contaminated").select("doc_id"),
-            "doc_id",
-            "left_anti",
-        )
+        kept = filter_contaminated(kept, decontaminate_against)
     kept = dedup_exact(kept)
     kept = drop_near_duplicates(kept)
     if annotate:

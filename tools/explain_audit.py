@@ -42,6 +42,7 @@ def main() -> None:
 
     from parse_html_spark.fixtures import write_corpus_parquet
     from parse_html_spark.functions.dedup import (
+        decontaminate,
         dedup_exact,
         minhash_near_duplicates,
     )
@@ -125,9 +126,7 @@ def main() -> None:
             "(BroadcastHashJoin); the training corpus is one explode +\n"
             "semi-join + partial-aggregated groupBy and never shuffles on\n"
             "text.",
-            __import__(
-                "parse_html_spark.functions.dedup", fromlist=["decontaminate"]
-            ).decontaminate(docs, docs.filter(F.col("doc_id") % 31 == 0)),
+            decontaminate(docs, docs.filter(F.col("doc_id") % 31 == 0)),
         ),
     ]
     out = [
