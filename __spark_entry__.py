@@ -161,8 +161,15 @@ def _span(kind, text, ref, offset):
 
 
 def _doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> span-document table (single text span per doc)."""
-    return _documents(spark, sf_dir).select(
+    """documents -> span-document table (single text span per doc).
+
+    The sf-dir documents file is a single KB-scale row group, so the
+    scan plans 1-2 splits; fan_out_small spreads the engine map stage
+    over the cluster instead of serializing it on one core (round-8:
+    spans_oracle/forms walls were one-task Python stages)."""
+    from parse_html_spark.pipeline import fan_out_small
+
+    return fan_out_small(_documents(spark, sf_dir)).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.array(
             _span(F.lit("text"), _wrapped_html_col(), F.lit(None).cast("string"), F.lit(0))
@@ -177,7 +184,9 @@ def _doc_spans_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     media spans (cuts at 20 and 40). Offsets only need to be strictly
     increasing -- assemble() pins each media slot at the cumulative text
     length, not the offset value."""
-    docs = _documents(spark, sf_dir)
+    from parse_html_spark.pipeline import fan_out_small
+
+    docs = fan_out_small(_documents(spark, sf_dir))
     m = F.pmod(F.col("doc_id").cast("bigint"), F.lit(3))
     head = '<html><head><title>t</title></head><body><div id="main"><p>'
     tail = "</p></div></body></html>"

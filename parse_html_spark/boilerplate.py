@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import bisect
 from itertools import accumulate
+from operator import itemgetter, sub
 
 import numpy as np
 
@@ -92,8 +93,10 @@ class TextMass:
         self.te = doc.tend
         ts_l = self.ts_l = doc.tstart_l
         te_l = self.te_l = doc.tend_l
+        # map(sub, te, ts) keeps the length pipeline fully in C (the
+        # genexpr form was a measured per-doc cost at 60k-doc scale)
         cum_l = self.cum_l = list(
-            accumulate((e - s for s, e in zip(ts_l, te_l)), initial=0)
+            accumulate(map(sub, te_l, ts_l), initial=0)
         )
         self.cum = np.asarray(cum_l, dtype=np.int64)
 
@@ -143,7 +146,7 @@ class TextMass:
             self.ats = _EMPTY
             self.ate = _EMPTY
         acum_l = self.acum_l = list(
-            accumulate((e - s for s, e in zip(ats_l, ate_l)), initial=0)
+            accumulate(map(sub, ate_l, ats_l), initial=0)
         )
         self.acum = np.asarray(acum_l, dtype=np.int64)
         self.ats_l = ats_l
@@ -179,29 +182,61 @@ class TextMass:
         return self.text_len(lo, hi) - self.anchor_len(lo, hi)
 
 
-def find_main_container(doc: DocIndex, tm: TextMass) -> tuple[int, int]:
-    """Byte range of the main-content container (rule 2)."""
+def node_masses(doc: DocIndex, tm: TextMass):
+    """Per-node (text_len, anchor_len) over contents spans, computed in
+    TWO vectorized passes for the whole document (round-8 profiling: the
+    container descent + prune pass together issued ~60 scalar bisect
+    masses per doc; one batched pass serves both consumers)."""
+    if doc.n == 0:
+        return _EMPTY, _EMPTY
+    cs = doc.cstart
+    ce = doc.cend
+    return tm.text_len_many(cs, ce), tm.anchor_len_many(cs, ce)
+
+
+def find_main_container(
+    doc: DocIndex, tm: TextMass, m_all: list | None = None
+) -> tuple[int, int]:
+    """Byte range of the main-content container (rule 2).
+
+    ``m_all`` is the optional precomputed per-node non-anchor mass (from
+    node_masses); children of the current container are found by a scan
+    of the parent array over the container's contiguous subtree index
+    range (nodes are in start order, so a subtree is one slice) -- no
+    per-node children lists or roots() list are ever materialized."""
     lo, hi = 0, len(doc.html)
+    n = doc.n
+    if n == 0:
+        return lo, hi
     cur_node = -1
     m_cur = tm.nonanchor(lo, hi)  # computed once; children reuse m[j]
-    ts_l, te_l, cum_l = tm.ts_l, tm.te_l, tm.cum_l
-    ats_l, ate_l, acum_l = tm.ats_l, tm.ate_l, tm.acum_l
+    if m_all is None:
+        tl, al = node_masses(doc, tm)
+        m_all = (tl - al).tolist()
     cstart, cend = doc.cstart_l, doc.cend_l
+    parent_l = doc.parent_l
+    start_l, end_l = doc.start_l, doc.end_l
     while True:
         if m_cur <= 0:
             return lo, hi
-        kids = doc.roots() if cur_node < 0 else doc.children_of(cur_node)
+        if cur_node < 0:
+            kids = [i for i in range(n) if parent_l[i] < 0]
+        else:
+            # subtree of cur_node = contiguous node ids [cur+1, sub_hi)
+            sub_hi = bisect.bisect_left(
+                start_l, end_l[cur_node], cur_node + 1
+            )
+            kids = [
+                i
+                for i in range(cur_node + 1, sub_hi)
+                if parent_l[i] == cur_node
+            ]
         if not kids:
             return lo, hi
-        # child sets are tiny (2-8): scalar bisect beats numpy dispatch
         best = -1
         best_m = -1
         for k in kids:
-            klo = cstart[k]
-            khi = cend[k]
-            mk = _mass_one(ts_l, te_l, cum_l, klo, khi) - _mass_one(
-                ats_l, ate_l, acum_l, klo, khi
-            )
+            mk = m_all[k]
             if mk > best_m:  # ties: first (earliest start) wins
                 best_m = mk
                 best = k
@@ -213,10 +248,18 @@ def find_main_container(doc: DocIndex, tm: TextMass) -> tuple[int, int]:
 
 
 def pruned_ranges(
-    doc: DocIndex, tm: TextMass, lo: int, hi: int
+    doc: DocIndex,
+    tm: TextMass,
+    lo: int,
+    hi: int,
+    tl=None,
+    al=None,
 ) -> list[tuple[int, int]]:
     """Outer byte ranges of boilerplate subtrees inside [lo, hi) (rule 3),
-    computed with one vectorized scoring pass over candidate nodes."""
+    computed with one vectorized scoring pass over candidate nodes.
+    ``tl``/``al`` accept the precomputed full-document per-node masses
+    from node_masses() (sliced here); omitted, they are computed for the
+    candidate range only."""
     a0 = bisect.bisect_left(doc.start_l, lo)
     b0 = bisect.bisect_left(doc.start_l, hi)
     if a0 >= b0:
@@ -225,11 +268,16 @@ def pruned_ranges(
     # only the candidate subrange is lifted to numpy (the full-array
     # twins stay lazy -- round-7 profiling)
     boiler = np.asarray(doc.boiler_l[a0:b0], dtype=bool)
-    cs = np.asarray(doc.cstart_l[a0:b0], dtype=np.int64)
-    ce = np.asarray(doc.cend_l[a0:b0], dtype=np.int64)
-    tl = tm.text_len_many(cs, ce)
-    al = tm.anchor_len_many(cs, ce)
-    na = tm.anchors_in_many(cs, ce)
+    if tl is None:
+        cs = np.asarray(doc.cstart_l[a0:b0], dtype=np.int64)
+        ce = np.asarray(doc.cend_l[a0:b0], dtype=np.int64)
+        tl = tm.text_len_many(cs, ce)
+        al = tm.anchor_len_many(cs, ce)
+        na = tm.anchors_in_many(cs, ce)
+    else:
+        tl = tl[a0:b0]
+        al = al[a0:b0]
+        na = tm.anchors_in_many(doc.cstart[a0:b0], doc.cend[a0:b0])
     dense = (na >= MIN_ANCHORS) & (tl > 0) & (al > LINK_DENSITY_MAX * tl)
     cand = np.flatnonzero(boiler | dense)
     start_l, end_l = doc.start_l, doc.end_l
@@ -251,8 +299,10 @@ def main_content_spans(
 ) -> list[tuple[str, str, str | None]]:
     """Ordered output spans (kind, text, media_ref) for one document."""
     tm = TextMass(doc)
-    lo, hi = find_main_container(doc, tm)
-    pruned = pruned_ranges(doc, tm, lo, hi)
+    tl_all, al_all = node_masses(doc, tm)
+    m_all = (tl_all - al_all).tolist()
+    lo, hi = find_main_container(doc, tm, m_all)
+    pruned = pruned_ranges(doc, tm, lo, hi, tl_all, al_all)
     plo = [p[0] for p in pruned]
 
     def in_pruned(pos: int) -> bool:
@@ -297,15 +347,28 @@ def main_content_spans(
             if pe < pos:
                 continue
             if ps > pos:
-                t = trim_html(html[pos:ps])
-                if t:
-                    events.append((pos, 1, "text", t, None))
+                # inlined trim_html fast path: a large share of pieces
+                # are single chars (no 2+ whitespace run possible), so
+                # skip the call and regex entirely for len < 2
+                t = html[pos:ps]
+                if len(t) < 2:
+                    if t and not t.isspace():
+                        events.append((pos, 1, "text", t, None))
+                else:
+                    t = trim_html(t)
+                    if t:
+                        events.append((pos, 1, "text", t, None))
             if pe > pos:
                 pos = pe
         if pos < e:
-            t = trim_html(html[pos:e])
-            if t:
-                events.append((pos, 1, "text", t, None))
+            t = html[pos:e]
+            if len(t) < 2:
+                if t and not t.isspace():
+                    events.append((pos, 1, "text", t, None))
+            else:
+                t = trim_html(t)
+                if t:
+                    events.append((pos, 1, "text", t, None))
     # media nodes (img/embed) inside the container, unpruned; priority 0:
     # an input media span at a text boundary precedes the following text.
     # img/embed ids come pre-classified from the tokenizer pass (sorted
@@ -328,5 +391,6 @@ def main_content_spans(
             # content end still belongs to the document tail
             if lo <= pos <= hi and not in_pruned(pos):
                 events.append((pos, 0, "media", "", ref))
-    events.sort(key=lambda ev: (ev[0], ev[1]))
+    # C-level key; same (pos, priority) ordering, same stability
+    events.sort(key=itemgetter(0, 1))
     return [(kind, text, ref) for _, _, kind, text, ref in events]

@@ -13,9 +13,22 @@ chainable empty object [:199-201].
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from .matcher import eval_chain, find_nodes, node_matches
 from .selector import compile_selector
 from .tokenizer import DocIndex, parse_attrs
+
+
+@lru_cache(maxsize=512)
+def _cached_plan(selector: str, ref_compat: bool):
+    """Per-process selector-plan memo: a mapInPandas stage re-runs the
+    same handful of selectors for every document, and compiling was a
+    measured per-doc cost (round-8 profiling: 3 compiles/doc in the
+    extract_page job, ~25 us each). Plans are read-only in the matcher
+    (no consumer mutates Compound/Atom), so sharing is safe; bounded so
+    adversarial dynamic selectors cannot grow worker memory."""
+    return compile_selector(selector, ref_compat=ref_compat)
 
 
 class PH:
@@ -77,14 +90,14 @@ class PH:
         if self._nodes is None:
             return [(0, len(self._html))]
         d = self._doc
-        return [(int(d.cstart[n]), int(d.cend[n])) for n in self._nodes]
+        return [(d.cstart_l[n], d.cend_l[n]) for n in self._nodes]
 
     # -- traversal ---------------------------------------------------------
 
     def find(self, selector: str) -> "PH":
         if self._html is None:
             return PH.empty()
-        plan = compile_selector(selector, ref_compat=self._compat)
+        plan = _cached_plan(selector, self._compat)
         if plan is None:
             return PH.empty()
         ids = find_nodes(self._doc, plan, self._scopes())
@@ -104,7 +117,7 @@ class PH:
                     seen.add(ch)
                     kids.append(ch)
         if selector is not None:
-            plan = compile_selector(selector, ref_compat=self._compat)
+            plan = _cached_plan(selector, self._compat)
             if plan is None:
                 return PH.empty()
             # descendant chains are rejected for the child filter [:366-370]
@@ -122,7 +135,7 @@ class PH:
                     k for k in kids
                     if any(
                         _match_in_range(
-                            d, comp, int(d.start[k]), int(d.end[k])
+                            d, comp, d.start_l[k], d.end_l[k]
                         )
                         for comp in compounds
                     )
@@ -134,7 +147,7 @@ class PH:
                 ]
         if not kids:
             return PH.empty()
-        kids.sort(key=lambda j: int(d.start[j]))
+        kids.sort(key=d.start_l.__getitem__)
         return self._sel(kids)
 
     # -- traversal extensions ----------------------------------------------
@@ -146,7 +159,7 @@ class PH:
     def _filtered(self, ids: list[int], selector: str | None) -> "PH":
         d = self._doc
         if selector is not None:
-            plan = compile_selector(selector, ref_compat=self._compat)
+            plan = _cached_plan(selector, self._compat)
             if plan is None:
                 return PH.empty()
             compounds = [c[0] for c in plan if len(c) == 1]
@@ -156,14 +169,14 @@ class PH:
             ]
         if not ids:
             return PH.empty()
-        ids = sorted(set(ids), key=lambda j: int(d.start[j]))
+        ids = sorted(set(ids), key=d.start_l.__getitem__)
         return self._sel(ids)
 
     def _siblings(self, offset: int, selector: str | None) -> "PH":
         d = self._doc
         out = []
         for n in self._element_nodes():
-            p = int(d.parent[n])
+            p = d.parent_l[n]
             sibs = d.children_of(p) if p >= 0 else d.roots()
             k = sibs.index(n)
             if 0 <= k + offset < len(sibs):
@@ -181,7 +194,7 @@ class PH:
     def parent(self, selector: str | None = None) -> "PH":
         """EXTENSION: direct parent element of each element."""
         d = self._doc
-        out = [int(d.parent[n]) for n in self._element_nodes()]
+        out = [d.parent_l[n] for n in self._element_nodes()]
         return self._filtered([p for p in out if p >= 0], selector)
 
     def parents(self, selector: str | None = None) -> "PH":
@@ -189,10 +202,10 @@ class PH:
         d = self._doc
         out = []
         for n in self._element_nodes():
-            p = int(d.parent[n])
+            p = d.parent_l[n]
             while p >= 0:
                 out.append(p)
-                p = int(d.parent[p])
+                p = d.parent_l[p]
         return self._filtered(out, selector)
 
     def contents_list(self) -> list:
@@ -206,14 +219,14 @@ class PH:
 
         n = nodes[0]
         out: list = []
-        pos = int(d.cstart[n])
+        pos = d.cstart_l[n]
         for ch in d.children_of(n):
-            t = trim_html(self._html[pos:int(d.start[ch])])
+            t = trim_html(self._html[pos:d.start_l[ch]])
             if t:
                 out.append(t)
             out.append(self._sel([ch]))
-            pos = int(d.end[ch])
-        t = trim_html(self._html[pos:int(d.cend[n])])
+            pos = d.end_l[ch]
+        t = trim_html(self._html[pos:d.cend_l[n]])
         if t:
             out.append(t)
         return out
@@ -244,7 +257,7 @@ class PH:
         if self._nodes is not None:
             return list(self._nodes)
         d = self._doc
-        if d.n and int(d.start[0]) == 0 and not d.is_bare(0):
+        if d.n and d.start_l[0] == 0 and not d.is_bare(0):
             return [0]
         return []
 
@@ -271,7 +284,7 @@ class PH:
         if not self._nodes:
             return ""
         n = self._nodes[0]
-        return d.text_between(int(d.start[n]), int(d.end[n]))
+        return d.text_between(d.start_l[n], d.end_l[n])
 
     def attr(self, name: str):
         """Named attribute of the first element; names are stored
@@ -284,7 +297,7 @@ class PH:
             return {}
         if self._nodes is None:
             d = self._doc
-            if d.n and int(d.start[0]) == 0:
+            if d.n and d.start_l[0] == 0:
                 return d.attrs(0, validate=True)
             return {}
         if not self._nodes:
@@ -304,7 +317,7 @@ from .tokenizer import KNOWN_TAGS  # noqa: E402
 
 
 def _starttag_map(doc: DocIndex, ids) -> dict[int, str]:
-    return {int(doc.start[i]): doc.starttag(i) for i in ids}
+    return {doc.start_l[i]: doc.starttag(i) for i in ids}
 
 
 def get_elements_by_tag(tag: str, html: str) -> dict[int, str]:

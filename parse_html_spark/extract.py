@@ -28,6 +28,8 @@ index. Pinned semantics:
 
 from __future__ import annotations
 
+from bisect import bisect_left
+
 from .dom import PH
 from .tokenizer import DocIndex, trim_html
 
@@ -44,19 +46,21 @@ def extract_node(doc: DocIndex, i: int, prune_tag: str | None = None):
     html = doc.html
     buf = ""
     c: list = []
-    pos = int(doc.cstart[i])
+    # list twins, not numpy element access: scalar indexing on the lazy
+    # arrays boxes per access and forces the conversion (round-8 pass)
+    pos = doc.cstart_l[i]
     for ch in doc.children_of(i):
-        buf += html[pos:int(doc.start[ch])]
+        buf += html[pos:doc.start_l[ch]]
         if prune_tag is not None and doc.tag[ch] == prune_tag:
-            pos = int(doc.end[ch])
+            pos = doc.end_l[ch]
             continue
         t = trim_html(buf)
         buf = ""
         if _keep(t):
             c.append(t)
         c.append(extract_node(doc, ch, prune_tag))
-        pos = int(doc.end[ch])
-    buf += html[pos:int(doc.cend[i])]
+        pos = doc.end_l[ch]
+    buf += html[pos:doc.cend_l[i]]
     t = trim_html(buf)
     if _keep(t):
         c.append(t)
@@ -68,7 +72,7 @@ def extract_html(html: str):
     start with a start tag and have a matching end tag, else it is
     returned unchanged [:52-56]."""
     doc = DocIndex(html)
-    if doc.n and int(doc.start[0]) == 0 and not doc.is_bare(0):
+    if doc.n and doc.start_l[0] == 0 and not doc.is_bare(0):
         return extract_node(doc, 0)
     return html
 
@@ -150,9 +154,10 @@ def extract_table_list(sel: PH, val_only: bool = False) -> list:
         if node is None:
             lo, hi = 0, len(d.html)
         else:
-            lo, hi = int(d.start[node]), int(d.end[node])
-        for j in d.nodes_in_range(lo, hi):
-            j = int(j)
+            lo, hi = d.start_l[node], d.end_l[node]
+        a = bisect_left(d.start_l, lo)
+        b = bisect_left(d.start_l, hi)
+        for j in range(a, b):
             if d.tag[j] == "table" and j not in seen:
                 seen.add(j)
                 tables.append(j)
@@ -256,7 +261,7 @@ def extract_form(sel: PH, selector: str | None = None) -> dict:
         tag = doc.tag[n]
         if tag == "select":
             values = []
-            lo, hi = int(doc.start[n]), int(doc.end[n])
+            lo, hi = doc.start_l[n], doc.end_l[n]
             for j in doc.nodes_in_range(lo, hi):
                 j = int(j)
                 if doc.tag[j] == "option":

@@ -123,16 +123,51 @@ def minhash_signatures(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from ..pipeline import fan_out_small
+
     coeffs = _mh_coeffs(num_hashes)
 
     def _sig(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda t: _minhash_sig(t or "", num_hashes, shingle_words, coeffs)
-        )
+        # batch form: crc32 per shingle as before, but ALL docs' shingle
+        # hashes concatenate into ONE (num_hashes x total) permutation
+        # product with a segmented min (round-8: the per-doc outer
+        # product paid numpy dispatch ~15us/doc; same integer math,
+        # identical signatures)
+        import numpy as np
+
+        a, b = coeffs
+        hs: list[np.ndarray] = []
+        offsets = [0]
+        for t in texts:
+            toks = _ascii_tokens((t or "").lower())
+            if len(toks) < shingle_words:
+                shingles = {" ".join(toks)} if toks else {""}
+            else:
+                shingles = {
+                    " ".join(toks[i : i + shingle_words])
+                    for i in range(len(toks) - shingle_words + 1)
+                }
+            hs.append(
+                np.fromiter(
+                    (zlib.crc32(s.encode("utf-8")) for s in shingles),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+            )
+            offsets.append(offsets[-1] + len(shingles))
+        if not hs:
+            return pd.Series([], dtype=object)
+        hm = np.concatenate(hs) % _MH_PRIME
+        perm = (a[:, None] * hm[None, :] + b[:, None]) % _MH_PRIME
+        mins = np.minimum.reduceat(perm, offsets[:-1], axis=1)
+        return pd.Series(list(mins.T.tolist()))
 
     sig_udf = pandas_udf(_sig, "array<long>")
 
-    return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
+    # the sig stage is compute-bound: spread a small input (guide 2.5)
+    return fan_out_small(df).select(
+        F.col(id_col), sig_udf(F.col(text_col)).alias("sig")
+    )
 
 
 def _cap_hot_buckets(
@@ -338,7 +373,11 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     sim_udf = pandas_udf(_batch, "long")
 
-    return df.select(F.col(id_col), sim_udf(F.col(text_col)).alias("simhash"))
+    from ..pipeline import fan_out_small
+
+    return fan_out_small(df).select(
+        F.col(id_col), sim_udf(F.col(text_col)).alias("simhash")
+    )
 
 
 def _simhash_chunked(df, text_col, id_col, max_hamming) -> DataFrame:

@@ -42,7 +42,13 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact brute-force cosine top-k against a constant query vector.
-    JVM-side (zip_with/aggregate) -- no Python in the hot path."""
+    JVM-side (zip_with/aggregate) -- no Python in the hot path.
+
+    Deliberately NOT fanned out (round-8): at bench scale the
+    interpreted-HOF compute is ~0.1 s on one core, and a round-robin
+    exchange plus the extra stage costs more than it saves (measured
+    0.28 s -> 0.43 s); the float summation order of the Column chain is
+    also the oracle-pinned one, so no numpy matmul substitute."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_col(F.col(vec_col), q)
     return (

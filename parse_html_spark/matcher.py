@@ -26,9 +26,8 @@ the direct child because it re-searches a padded pseudo-element
 from __future__ import annotations
 
 import re
+from bisect import bisect_left
 from functools import lru_cache
-
-import numpy as np
 
 from .conditions import build_conditions, eval_conditions, parse_fields
 from .selector import Compound
@@ -135,9 +134,14 @@ def node_matches(doc: DocIndex, comp: Compound, i: int) -> bool:
 
 
 def _match_in_range(doc: DocIndex, comp: Compound, lo: int, hi: int) -> list[int]:
-    cand = doc.nodes_in_range(lo, hi)
-    if len(cand) == 0:
+    # candidate ids via C bisect on the list twin (node starts are
+    # sorted); plain-int ranges, no numpy boxing in the per-doc hot path
+    start_l = doc.start_l
+    a = bisect_left(start_l, lo)
+    b = bisect_left(start_l, hi)
+    if a >= b:
         return []
+    tag = doc.tag
     if comp.tag is not None:
         want = comp.tag.lower()
         if (
@@ -146,12 +150,12 @@ def _match_in_range(doc: DocIndex, comp: Compound, lo: int, hi: int) -> list[int
             and _has_parsable_atom(comp)
         ):
             return []  # attribute path validates even with a tag
-        cand = [int(j) for j in cand if doc.tag[j] == want]
+        cand = [j for j in range(a, b) if tag[j] == want]
     elif comp.attributes:
         # attribute dispatch: only whitelisted HTML tags are candidates
-        cand = [int(j) for j in cand if doc.tag[j] in KNOWN_TAGS]
+        cand = [j for j in range(a, b) if tag[j] in KNOWN_TAGS]
     else:
-        cand = [int(j) for j in cand]
+        cand = list(range(a, b))
     if _is_lone_id(comp):
         value = comp.attributes[0].value
         for j in cand:
@@ -182,7 +186,7 @@ def eval_chain(
                 for nd in nodes:
                     for ch in doc.children_of(nd):
                         for j in _match_in_range(
-                            doc, comp, int(doc.start[ch]), int(doc.end[ch])
+                            doc, comp, doc.start_l[ch], doc.end_l[ch]
                         ):
                             if j not in seen:
                                 seen.add(j)
@@ -197,7 +201,7 @@ def eval_chain(
             ranges = (
                 scopes
                 if nodes is None
-                else [(int(doc.cstart[n]), int(doc.cend[n])) for n in nodes]
+                else [(doc.cstart_l[n], doc.cend_l[n]) for n in nodes]
             )
             for lo, hi in ranges:
                 for j in _match_in_range(doc, comp, lo, hi):
@@ -224,5 +228,5 @@ def find_nodes(
             if j not in seen:
                 seen.add(j)
                 out.append(j)
-    out.sort(key=lambda j: int(doc.start[j]))
+    out.sort(key=doc.start_l.__getitem__)
     return out

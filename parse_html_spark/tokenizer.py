@@ -69,12 +69,17 @@ TAG_FLAGS: dict[str, int] = {
     for t in (KNOWN_TAGS | VOID_TAGS | BOILER_TAGS | {"a", *MEDIA_TAGS})
 }
 
+# Alternatives are mutually exclusive on their first character (letter /
+# '/' / '!?'), so ordering is free: the open-tag branch goes first (most
+# frequent on real pages) and only the two tag names are captured --
+# fewer group registers for the C engine to track per token.
+# lastindex: 1 = open tag, 2 = close tag, None = <!...> / <?...> special.
 TOKEN_RE = re.compile(
     r"<(?:"
-    r"(?P<close>/)(?P<cname>[a-zA-Z][a-zA-Z0-9]*)[^>]*>"
-    r"|(?P<name>[a-zA-Z][a-zA-Z0-9]*)(?P<attrs>[^>]*)>"
-    r"|(?P<special>[!?][^>]*>)"
-    r")"
+    r"([a-zA-Z][a-zA-Z0-9]*)[^>]*"
+    r"|/([a-zA-Z][a-zA-Z0-9]*)[^>]*"
+    r"|[!?][^>]*"
+    r")>"
 )
 
 _ATTR_FORBIDDEN = re.compile(r"[\"'>/=\s]")
@@ -148,9 +153,9 @@ class DocIndex:
 
     __slots__ = (
         "html", "n", "tag",
-        "tstart", "tend", "_attr_src", "_attrs", "_children",
+        "tstart", "tend", "_attrs", "_children",
         "_tag_arr", "start_l", "end_l", "cstart_l", "cend_l", "parent_l",
-        "depth_l", "tstart_l", "tend_l", "a_ids", "media_ids", "boiler_l",
+        "_depth_l", "tstart_l", "tend_l", "a_ids", "media_ids", "boiler_l",
         "_start_a", "_end_a", "_cstart_a", "_cend_a", "_parent_a",
         "_depth_a",
     )
@@ -202,12 +207,26 @@ class DocIndex:
             self._depth_a = np.asarray(self.depth_l, dtype=np.int64)
         return self._depth_a
 
+    @property
+    def depth_l(self) -> list[int]:
+        """Node depths, derived lazily from parent pointers (a parent
+        always precedes its children in start order, so one forward pass
+        suffices). The extraction hot path never reads depth; only the
+        node-table/selector consumers pay the O(n) build."""
+        if self._depth_l is None:
+            parent_l = self.parent_l
+            d = [0] * self.n
+            for i, p in enumerate(parent_l):
+                if p >= 0:
+                    d[i] = d[p] + 1
+            self._depth_l = d
+        return self._depth_l
+
     def __init__(self, html: str):
         self.html = html
         tags: list[str] = []
         starts: list[int] = []
         st_ends: list[int] = []  # end of start tag
-        attr_src: list[str] = []
         open_stacks: dict[str, list[int]] = {}
         # single-pass side products (round 6 profiling): plain-text
         # regions (gaps between markup tokens) built inline instead of
@@ -230,7 +249,6 @@ class DocIndex:
         tags_append = tags.append
         starts_append = starts.append
         st_ends_append = st_ends.append
-        attr_append = attr_src.append
         tstart_append = tstart.append
         tend_append = tend.append
         a_append = a_ids.append
@@ -246,15 +264,13 @@ class DocIndex:
                 tstart_append(pos)
                 tend_append(s_tok)
             pos = e_tok
-            last = m.lastindex  # 4=open(attrs), 2=close(cname), 5=special
-            if last == 4:
-                lname = m.group(3).lower()
+            last = m.lastindex  # 1=open, 2=close, None=special
+            if last == 1:
+                lname = m[1].lower()
                 idx = len(tags)
                 tags_append(lname)
                 starts_append(s_tok)
                 st_ends_append(e_tok)
-                # attrs span == (end of name group, '>') by construction
-                attr_append((m.end(3), e_tok - 1))
                 fl = flags_get(lname, 0)
                 boiler_append(fl & 1)
                 if fl & 12:
@@ -275,7 +291,7 @@ class DocIndex:
                 # nothing (the element stays a bare start tag) -- but
                 # they are still markup tokens (strip_tags removes them
                 # from text). Exact form <=> token length == len(name)+3.
-                cname = m.group(2)
+                cname = m[2]
                 if e_tok - s_tok == len(cname) + 3:
                     stack = get_stack(cname.lower())
                     if stack:
@@ -308,7 +324,6 @@ class DocIndex:
         self._start_a = None
         self._cstart_a = None
         self._cend_a = None
-        self._attr_src = attr_src
         self._attrs: list[dict | None] = [None] * n
         self.a_ids = a_ids
         self.media_ids = media_ids
@@ -318,20 +333,17 @@ class DocIndex:
         # plain-int lists, converted once (per-element numpy writes were
         # a measured hot spot)
         parent_l = [-1] * n
-        depth_l = [0] * n
         stack: list[int] = []
         for i in range(n):
             s_i = starts[i]
             while stack and ends[stack[-1]] <= s_i:
                 stack.pop()
             if stack:
-                p = stack[-1]
-                parent_l[i] = p
-                depth_l[i] = depth_l[p] + 1
+                parent_l[i] = stack[-1]
             if ends[i] > st_ends[i]:  # only containers can own children
                 stack.append(i)
         self.parent_l = parent_l
-        self.depth_l = depth_l
+        self._depth_l = None
         self._end_a = None
         self._parent_a = None
         self._depth_a = None
@@ -346,12 +358,16 @@ class DocIndex:
     # -- accessors ---------------------------------------------------------
 
     def attrs(self, i: int, validate: bool = False) -> dict[str, str | None]:
-        a, b = self._attr_src[i]
+        # attr source span is fully derivable: it runs from the end of
+        # the (pure-ASCII) tag name to just before the start tag's '>',
+        # so no per-node span tuple is stored in the tokenize loop
         if validate:
-            return parse_attrs(self.html[a:b], validate=True)
+            a = self.start_l[i] + 1 + len(self.tag[i])
+            return parse_attrs(self.html[a:self.cstart_l[i] - 1], validate=True)
         cached = self._attrs[i]
         if cached is None:
-            cached = parse_attrs(self.html[a:b])
+            a = self.start_l[i] + 1 + len(self.tag[i])
+            cached = parse_attrs(self.html[a:self.cstart_l[i] - 1])
             self._attrs[i] = cached
         return cached
 
