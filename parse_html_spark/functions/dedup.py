@@ -283,6 +283,13 @@ def minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_words
     )
     banded = _cap_hot_buckets(banded, ["band", "band_hash"], max_bucket)
+    # materialize the capped band rows ONCE before the self-join: the
+    # planner broadcasts one side, so without this both sides re-run the
+    # signature UDF subtree (round-8 plan audit: two ArrowEvalPython
+    # nodes). The checkpoint holds only (id, band, band_hash) -- ~24
+    # bytes/doc/band, executor-local, infinitely cheaper than hashing
+    # every document's text twice at corpus scale.
+    banded = banded.localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -446,6 +453,10 @@ def simhash_near_pairs(
     unconditionally lossless (unbounded) form."""
     chunks = _simhash_chunked(df, text_col, id_col, max_hamming)
     chunks = _cap_hot_buckets(chunks, ["chunk", "chunk_val"], max_bucket)
+    # materialize once before the self-join (same reasoning as
+    # minhash_lsh_pairs: broadcast planning otherwise re-runs the
+    # simhash UDF subtree on both sides; the chunk rows are ~32 B each)
+    chunks = chunks.localCheckpoint()
     a, b = chunks.alias("a"), chunks.alias("b")
     joined = a.join(
         b,
@@ -528,6 +539,10 @@ def token_jaccard_pairs(
         hot = hot_tokens(df, text_col, id_col, max_df).select("tok")
         # hot-token list is tiny by construction -> broadcast anti-join
         toks = toks.join(F.broadcast(hot), "tok", "left_anti")
+    # three consumers (both join sides + sizes) would each re-run the
+    # scan + tokenize + explode + distinct subtree; materialize the
+    # (tok, id) rows once (round-8)
+    toks = toks.localCheckpoint()
     sizes = toks.groupBy("id").agg(F.count("*").alias("n_tok"))
     a, b = toks.alias("a"), toks.alias("b")
     common = (

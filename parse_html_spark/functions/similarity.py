@@ -547,6 +547,10 @@ def lsh_candidate_pairs(
 
     banded = _embedding_banded(df, dim, tables, bits, vec_col, id_col, seed)
     banded = _cap_hot_buckets(banded, ["tbl", "bucket"], max_bucket)
+    # materialize the (tbl, bucket, id) rows once before the self-join
+    # (round-8: broadcast planning otherwise evaluates the hyperplane
+    # matmul UDF subtree on both sides)
+    banded = banded.localCheckpoint()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
