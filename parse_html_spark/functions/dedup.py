@@ -644,6 +644,14 @@ def chunk_dup_stats(
         F.col(id_col),
         F.explode_outer(chunk_col(F.col(text_col), k)).alias("chunk"),
     )
+    # occ feeds BOTH the count aggregate and the probe side; the two
+    # subtrees differ (isNotNull filter), so no exchange reuse -- without
+    # this the corpus is scanned and regex-chunked twice (round-8).
+    # Checkpoint size == the chunk rows the exchanges move anyway. The
+    # JOIN shape itself is deliberate: a window count per chunk would be
+    # one pass but puts a hot chunk (boilerplate in 30% of docs) into
+    # ONE task -- AQE skew handling applies to joins only (guide 2.5).
+    occ = occ.localCheckpoint()
     counts = (
         occ.filter(F.col("chunk").isNotNull())
         .groupBy("chunk")
@@ -841,6 +849,11 @@ def dedup_lines_global(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
     )
+    # three consumers (winner agg, join probe, short-line union) would
+    # each re-scan and re-split the corpus; materialize the line rows
+    # once (round-8). Join/agg shapes unchanged -- the unique
+    # (line, id, pos) join key skew argument is untouched.
+    lines = lines.localCheckpoint()
     big = lines.filter(F.length("line") >= min_chars)
     winners = big.groupBy("line").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w")
@@ -861,10 +874,14 @@ def dedup_lines_global(
         F.count(F.lit(1)).alias("n_kept"),
         F.concat_ws(
             "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda x: x["line"],
-            ),
+            # .getField on array<struct> is a codegen'd
+            # GetArrayStructFields -- the transform(..., x -> x["line"])
+            # form it replaces was an INTERPRETED lambda per line
+            # (round-8 stage isolation: the rebuild groupBy was the
+            # largest stage of this operator)
+            F.array_sort(
+                F.collect_list(F.struct("pos", "line"))
+            ).getField("line"),
         ).alias("text_dedup"),
     )
     # totals from the INPUT df, not the exploded lines: split(NULL)
