@@ -602,7 +602,10 @@ def extract_page(df):
 
     def run(batches):
         for pdf in batches:
-            rows = []
+            # parallel column lists, not per-doc dicts: pandas' records
+            # path re-dispatches per cell (round-8)
+            c_id, c_km, c_tx, c_rf = [], [], [], []
+            c_tab, c_frm, c_ti, c_nn = [], [], [], []
             for doc_id, row_spans in zip(pdf["doc_id"], pdf["spans"]):
                 html, media = assemble(_spans_of_row(row_spans))
                 doc = DocIndex(html)
@@ -611,21 +614,28 @@ def extract_page(df):
                 title_sel = ph.find("title")
                 tables = extract_table_list(ph.find("table"), val_only=True)
                 form = to_plain(extract_form(ph))
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "is_media": [k == "media" for k, _t, _r in spans],
-                        "texts": [t for _k, t, _r in spans],
-                        "media_refs": [r for _k, _t, r in spans],
-                        "tables_json": json.dumps(
-                            [to_plain(t) for t in tables], ensure_ascii=False
-                        ),
-                        "form_json": json.dumps(form, ensure_ascii=False),
-                        "title": title_sel.text(),
-                        "n_nodes": doc.n,
-                    }
+                c_id.append(doc_id)
+                c_km.append([k == "media" for k, _t, _r in spans])
+                c_tx.append([t for _k, t, _r in spans])
+                c_rf.append([r for _k, _t, r in spans])
+                c_tab.append(
+                    json.dumps([to_plain(t) for t in tables], ensure_ascii=False)
                 )
-            yield pd.DataFrame(rows)
+                c_frm.append(json.dumps(form, ensure_ascii=False))
+                c_ti.append(title_sel.text())
+                c_nn.append(doc.n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": c_id,
+                    "is_media": c_km,
+                    "texts": c_tx,
+                    "media_refs": c_rf,
+                    "tables_json": c_tab,
+                    "form_json": c_frm,
+                    "title": c_ti,
+                    "n_nodes": pd.array(c_nn, dtype="int32"),
+                }
+            )
 
     return _map_in_pandas(df, run, PAGE_SCHEMA)
 
