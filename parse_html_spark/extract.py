@@ -157,8 +157,9 @@ def extract_table_list(sel: PH, val_only: bool = False) -> list:
             lo, hi = d.start_l[node], d.end_l[node]
         a = bisect_left(d.start_l, lo)
         b = bisect_left(d.start_l, hi)
-        for j in range(a, b):
-            if d.tag[j] == "table" and j not in seen:
+        ids = d.tag_ids().get("table", [])
+        for j in ids[bisect_left(ids, a):bisect_left(ids, b)]:
+            if j not in seen:
                 seen.add(j)
                 tables.append(j)
     if not tables:

@@ -150,7 +150,16 @@ def _match_in_range(doc: DocIndex, comp: Compound, lo: int, hi: int) -> list[int
             and _has_parsable_atom(comp)
         ):
             return []  # attribute path validates even with a tag
-        cand = [j for j in range(a, b) if tag[j] == want]
+        # tag-dispatched scan via the per-doc tag->ids index: O(matches)
+        # instead of a full-node pass per compound (the page job runs
+        # ~7 tag scans per doc; round-8). Ids are sorted, so the scope
+        # restriction is a bisect on the tag's own id list.
+        ids = doc.tag_ids().get(want)
+        if not ids:
+            return []
+        ia = bisect_left(ids, a)
+        ib = bisect_left(ids, b)
+        cand = ids[ia:ib]
     elif comp.attributes:
         # attribute dispatch: only whitelisted HTML tags are candidates
         cand = [j for j in range(a, b) if tag[j] in KNOWN_TAGS]

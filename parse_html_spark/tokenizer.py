@@ -153,7 +153,7 @@ class DocIndex:
 
     __slots__ = (
         "html", "n", "tag",
-        "tstart", "tend", "_attrs", "_children",
+        "tstart", "tend", "_attrs", "_children", "_tag_ids",
         "_tag_arr", "start_l", "end_l", "cstart_l", "cend_l", "parent_l",
         "_depth_l", "tstart_l", "tend_l", "a_ids", "media_ids", "boiler_l",
         "_start_a", "_end_a", "_cstart_a", "_cend_a", "_parent_a",
@@ -348,6 +348,7 @@ class DocIndex:
         self._parent_a = None
         self._depth_a = None
         self._children: list | None = None
+        self._tag_ids: dict | None = None
         self._tag_arr = None
 
         self.tstart_l = tstart
@@ -383,6 +384,23 @@ class DocIndex:
     def is_bare(self, i: int) -> bool:
         """True when the element is only a start tag (void or unclosed)."""
         return self.end_l[i] == self.cstart_l[i]
+
+    def tag_ids(self) -> dict[str, list[int]]:
+        """tag -> sorted node ids, built lazily in one pass. Turns a
+        tag-dispatched selector scan from O(nodes) per compound into
+        O(matches): the page job runs ~7 tag scans per document
+        (title/table + the 4-chain form selector), which all share this
+        one index (round-8)."""
+        if self._tag_ids is None:
+            ti: dict[str, list[int]] = {}
+            for j, t in enumerate(self.tag):
+                lst = ti.get(t)
+                if lst is None:
+                    ti[t] = [j]
+                else:
+                    lst.append(j)
+            self._tag_ids = ti
+        return self._tag_ids
 
     def children_of(self, i: int) -> list[int]:
         if self._children is None:
