@@ -574,6 +574,9 @@ def fan_out_small(df, factor: int = 1):
     defaultParallelism * factor partitions -- a production-scale table
     never repartitions; only the pathological small-file case pays the
     (tiny) shuffle."""
+    if df.isStreaming:
+        return df  # micro-batch sizing is the trigger's job, and
+        # .rdd is undefined on a streaming DataFrame
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     if df.rdd.getNumPartitions() >= target:
