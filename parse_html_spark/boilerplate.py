@@ -52,8 +52,9 @@ def _mass_many(starts, ends, cum, lo, hi):
     hi = np.asarray(hi, dtype=np.int64)
     if len(starts) == 0:
         return np.zeros(len(lo), dtype=np.int64)
-    a = np.searchsorted(ends, lo, side="right")
-    b = np.searchsorted(starts, hi, side="left")
+    # ndarray method form skips the np.searchsorted dispatch wrapper
+    a = ends.searchsorted(lo, side="right")
+    b = starts.searchsorted(hi, side="left")
     valid = b > a
     a_c = np.minimum(a, len(starts) - 1)
     b_c = np.maximum(b - 1, 0)
@@ -161,8 +162,9 @@ class TextMass:
         return _mass_many(self.ats, self.ate, self.acum, lo, hi)
 
     def anchors_in_many(self, lo, hi):
-        return np.searchsorted(self.anchor_starts, hi, side="left") - np.searchsorted(
-            self.anchor_starts, lo, side="left"
+        a_s = self.anchor_starts
+        return a_s.searchsorted(hi, side="left") - a_s.searchsorted(
+            lo, side="left"
         )
 
     # scalar conveniences ---------------------------------------------------

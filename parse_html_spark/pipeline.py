@@ -50,10 +50,12 @@ def _map_in_pandas(df, run, schema, inputs=("doc_id", "spans")):
 def assemble(spans) -> tuple[str, list[tuple[int, str]]]:
     """Concatenate text spans in offset order; media spans become
     (assembled_char_position, media_ref) slots."""
+    from operator import itemgetter
+
     parts: list[str] = []
     media: list[tuple[int, str]] = []
     pos = 0
-    for s in sorted(spans, key=lambda s: s["offset"]):
+    for s in sorted(spans, key=itemgetter("offset")):
         if s["kind"] == "text":
             txt = s["text"] or ""
             parts.append(txt)
