@@ -262,13 +262,15 @@ def extract_form(sel: PH, selector: str | None = None) -> dict:
         tag = doc.tag[n]
         if tag == "select":
             values = []
-            lo, hi = doc.start_l[n], doc.end_l[n]
-            for j in doc.nodes_in_range(lo, hi):
-                j = int(j)
-                if doc.tag[j] == "option":
-                    oattrs = doc.attrs(j)
-                    if "value" in oattrs:
-                        values.append(oattrs["value"])
+            # node starts are strictly increasing, so the id range of
+            # [start_l[n], end_l[n]) begins at n itself
+            a = n
+            b = bisect_left(doc.start_l, doc.end_l[n])
+            ids = doc.tag_ids().get("option", [])
+            for j in ids[bisect_left(ids, a):bisect_left(ids, b)]:
+                oattrs = doc.attrs(j)
+                if "value" in oattrs:
+                    values.append(oattrs["value"])
             value: object = (
                 {i: v for i, v in enumerate(values)} if values else None
             )
