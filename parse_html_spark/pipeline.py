@@ -17,6 +17,7 @@ readStream ... foreachBatch unchanged.
 from __future__ import annotations
 
 import time
+from operator import itemgetter
 from typing import Iterator
 
 from .boilerplate import main_content_spans
@@ -47,15 +48,16 @@ def _map_in_pandas(df, run, schema, inputs=("doc_id", "spans")):
     return df.mapInPandas(run, schema=schema)
 
 
+_OFFSET_KEY = itemgetter("offset")
+
+
 def assemble(spans) -> tuple[str, list[tuple[int, str]]]:
     """Concatenate text spans in offset order; media spans become
     (assembled_char_position, media_ref) slots."""
-    from operator import itemgetter
-
     parts: list[str] = []
     media: list[tuple[int, str]] = []
     pos = 0
-    for s in sorted(spans, key=itemgetter("offset")):
+    for s in sorted(spans, key=_OFFSET_KEY):
         if s["kind"] == "text":
             txt = s["text"] or ""
             parts.append(txt)
