@@ -104,7 +104,11 @@ def main() -> None:
             "MinHash near-dup (banded LSH + verify-within-buckets)",
             "Wanted: equi-joins on short band keys and ids only -- no\n"
             "CartesianProduct / BroadcastNestedLoopJoin anywhere; exact\n"
-            "Jaccard only after candidate pairs exist.",
+            "Jaccard only after candidate pairs exist. Round 8: the\n"
+            "capped band rows are localCheckpoint'ed before the\n"
+            "self-join (they appear as Scan ExistingRDD below), so the\n"
+            "signature ArrowEvalPython stage runs ONCE instead of once\n"
+            "per join side.",
             minhash_near_duplicates(docs.filter(F.col("doc_id") < 40)),
         ),
         (
